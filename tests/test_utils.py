@@ -1,0 +1,126 @@
+"""Unit tests for pure utility functions, anchored to reference formulas."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from scipy.stats import gamma
+
+from vaegam_tpu.utils import (
+    control_stimulus_to_neural,
+    get_xu_ranges,
+    hrf,
+    hrf_jnp,
+    mk_spherical_mask,
+    read_design_mat,
+    scale_beta_maps,
+    stimulus_to_neural,
+    str2bool,
+    zscore,
+)
+
+
+def test_hrf_formula_matches_reference():
+    # reference: utils.py:22-36
+    times = np.arange(0, 20, 1.4)
+    expected = gamma.pdf(times, 6) - 0.35 * gamma.pdf(times, 12)
+    expected = expected / np.max(expected) * 0.6
+    np.testing.assert_allclose(hrf(times), expected, rtol=1e-12)
+    assert np.max(hrf(times)) == pytest.approx(0.6)
+
+
+def test_hrf_jnp_matches_numpy():
+    times = np.arange(0, 20, 1.4)
+    # fp32 on device vs fp64 on host: absolute agreement to ~1e-4 is expected
+    np.testing.assert_allclose(np.asarray(hrf_jnp(times)), hrf(times), atol=2e-4)
+
+
+def test_stimulus_to_neural_first_block_off():
+    # reference: utils.py:75-91 — 20 s blocks, block 0 OFF, odd blocks ON
+    vol_times = np.arange(1, 99) * 1.4
+    res = stimulus_to_neural(vol_times)
+    t = vol_times // 20
+    expected = np.array([0 if (ti == 0 or ti % 2 == 0) else 1 for ti in t])
+    np.testing.assert_array_equal(res, expected)
+    assert res[0] == 0  # t < 20 s is OFF
+
+
+def test_control_stimulus_to_neural_first_block_on():
+    # reference: utils.py:93-111 — block 0 ON, odd blocks OFF
+    vol_times = np.arange(1, 99) * 1.4
+    res = control_stimulus_to_neural(vol_times)
+    np.testing.assert_array_equal(res, 1 - stimulus_to_neural(vol_times))
+
+
+def test_zscore_population_sigma():
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame(
+        {c: rng.normal(5, 3, size=50) for c in ["x", "y", "z", "rot_x", "rot_y", "rot_z"]}
+    )
+    df["task"] = 1  # untouched column
+    out = zscore(df.copy())
+    for c in ["x", "y", "z", "rot_x", "rot_y", "rot_z"]:
+        assert out[c].mean() == pytest.approx(0.0, abs=1e-12)
+        assert out[c].std(ddof=0) == pytest.approx(1.0, rel=1e-12)
+    np.testing.assert_array_equal(out["task"], df["task"])
+
+
+def test_get_xu_ranges(tmp_path):
+    cols = ["x", "y", "z", "rot_x", "rot_y", "rot_z"]
+    train = pd.DataFrame({c: [0.0, 2.0] for c in cols})
+    test = pd.DataFrame({c: [-1.0, 1.0] for c in cols})
+    tr, te = tmp_path / "tr.csv", tmp_path / "te.csv"
+    train.to_csv(tr)
+    test.to_csv(te)
+    ranges = get_xu_ranges([str(tr), str(te)])
+    for lo, hi in ranges:
+        assert lo == pytest.approx(-1.0 - 1e-3)
+        assert hi == pytest.approx(2.0 + 1e-3)
+
+
+def test_str2bool():
+    assert str2bool(True) is True
+    assert str2bool("yes") and str2bool("TRUE") and str2bool("1")
+    assert not (str2bool("no") or str2bool("False") or str2bool("0"))
+    with pytest.raises(Exception):
+        str2bool("maybe")
+
+
+def test_mk_spherical_mask_is_l1_ball():
+    # reference: utils.py:126-151 — L1 metric (octahedron), center at floor(size/2)
+    size, radius = 7, 1
+    mask = mk_spherical_mask(size, radius)
+    assert mask.shape == (size, size, size)
+    assert mask.sum() == 7  # radius-1 L1 ball: center + 6 face neighbors
+    c = size // 2
+    assert mask[c, c, c] == 1 and mask[c + 1, c, c] == 1 and mask[c + 1, c + 1, c] == 0
+
+
+def test_mk_spherical_mask_matches_bruteforce():
+    size, radius = 9, 3
+    mask = mk_spherical_mask(size, radius)
+    c = int(np.floor(size / 2))
+    brute = np.zeros((size, size, size))
+    for x in range(c - radius, c + radius + 1):
+        for y in range(c - radius, c + radius + 1):
+            for z in range(c - radius, c + radius + 1):
+                if radius - abs(c - x) - abs(c - y) - abs(c - z) >= 0:
+                    brute[x, y, z] = 1
+    np.testing.assert_array_equal(mask, brute)
+
+
+def test_read_design_mat(tmp_path):
+    content = "\n".join(
+        ["/NumWaves 2", "/NumPoints 3", "/PPheights 1 1", "", "/Matrix"]
+        + ["1.0\t0.5", "0.0\t-0.25", "1.0\t0.125"]
+    )
+    p = tmp_path / "design.mat"
+    p.write_text(content + "\n")
+    mat = read_design_mat(str(p))
+    np.testing.assert_allclose(mat, [[1.0, 0.5], [0.0, -0.25], [1.0, 0.125]])
+
+
+def test_scale_beta_maps():
+    maps = np.array([[1.0, 2.0, 4.0], [-3.0, 6.0, 3.0]])
+    out = scale_beta_maps(maps.copy())
+    np.testing.assert_allclose(out[0], [0.25, 0.5, 1.0])
+    np.testing.assert_allclose(out[1], [-0.5, 1.0, 0.5])
