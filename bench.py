@@ -1,0 +1,86 @@
+"""Benchmark: fMRI volumes/sec/chip on the jitted ELBO train step.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline is measured against the PyTorch reference's CPU training
+throughput (BASELINE.md measurement procedure).  The reference number is
+read from baseline_measured.json (recorded once via tools/measure_reference.py,
+since the reference publishes no numbers).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+BATCH = 32
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    from vaegam_tpu.models import VAEGAMConfig, forward, init_model
+
+    config = VAEGAMConfig()
+    rng = np.random.default_rng(0)
+    glm_maps = rng.normal(size=(config.img_dim, 9)).astype(np.float32)
+    params, consts = init_model(
+        jax.random.PRNGKey(0), config, [[-2.0, 2.0]] * 6, glm_maps
+    )
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    def step(params, opt_state, key, covariates, x):
+        (loss, _), grads = jax.value_and_grad(forward, has_aux=True)(
+            params, consts, key, covariates, x, config
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    step = jax.jit(step, donate_argnums=(0, 1))
+
+    covs = jnp.asarray(rng.normal(size=(BATCH, config.num_covariates)), jnp.float32)
+    x = jnp.asarray(
+        rng.uniform(0, 1, size=(BATCH,) + config.img_shape), jnp.float32
+    )
+    keys = jax.random.split(jax.random.PRNGKey(1), WARMUP + ITERS)
+
+    for i in range(WARMUP):
+        params, opt_state, loss = step(params, opt_state, keys[i], covs, x)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        params, opt_state, loss = step(
+            params, opt_state, keys[WARMUP + i], covs, x
+        )
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    vols_per_sec = BATCH * ITERS / dt
+
+    vs_baseline = None
+    baseline_path = os.path.join(os.path.dirname(__file__), "baseline_measured.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            ref = json.load(f)
+        ref_vps = ref.get("reference_cpu_vols_per_sec")
+        if ref_vps:
+            vs_baseline = vols_per_sec / ref_vps
+
+    print(json.dumps({
+        "metric": "train_step_volumes_per_sec_per_chip",
+        "value": round(vols_per_sec, 2),
+        "unit": "volumes/sec",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

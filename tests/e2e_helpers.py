@@ -1,0 +1,114 @@
+"""Shared fixtures: generate a tiny fake fMRI subject tree + design CSV.
+
+The model's conv arithmetic is tied to the reference volume shape
+(41, 49, 35), so fake volumes use the real spatial shape with a small
+time axis.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from vaegam_tpu.utils import nifti
+from vaegam_tpu.utils.signals import control_stimulus_to_neural
+
+IMG_SHAPE = (41, 49, 35)
+TR = 1.4
+
+
+def make_subject_tree(root, n_subjs=2, n_vols=8, seed=0, intensity=200.0):
+    """Write sub-A000NN dirs with 4D NIfTI + fmriprep-style motion TSV + sex csv.
+
+    A synthetic octahedral control signal modulated by the control stimulus
+    series is injected into the volumes, so short training runs have signal
+    to find.  Returns (subj_dirs, sex_csv_path).
+    """
+    rng = np.random.default_rng(seed)
+    vol_times = np.arange(1, n_vols + 1) * TR
+    neural = control_stimulus_to_neural(vol_times)
+    signal = np.zeros(IMG_SHAPE)
+    signal[18:23, 36:41, 15:20] = intensity
+
+    subj_ids = []
+    for s in range(n_subjs):
+        subj = f"sub-A000{50 + s:02d}"
+        subj_ids.append(subj)
+        sdir = os.path.join(root, subj)
+        os.makedirs(sdir, exist_ok=True)
+        base = rng.uniform(100, 3000, size=IMG_SHAPE).astype(np.float32)
+        vols = np.stack(
+            [base + rng.normal(0, 20, IMG_SHAPE) + signal * neural[t]
+             for t in range(n_vols)],
+            axis=-1,
+        ).astype(np.float32)
+        aff = np.diag([3.0, 3.0, 3.0, 1.0])
+        nifti.save(
+            nifti.Nifti1Image(vols, aff),
+            os.path.join(
+                sdir, f"{subj}_preproc_bold_brainmasked_resampled.nii.gz"
+            ),
+        )
+        mot = pd.DataFrame(
+            {c: rng.normal(0, 0.5, n_vols)
+             for c in ["trans_x", "trans_y", "trans_z",
+                       "rot_x", "rot_y", "rot_z"]}
+        )
+        mot.to_csv(
+            os.path.join(
+                sdir,
+                f"{subj}_task-CHECKERBOARD_acq-1400_desc-confounds_"
+                "regressors_fake.tsv",
+            ),
+            sep="\t",
+            index=False,
+        )
+    sex_csv = os.path.join(root, "sex_info.csv")
+    pd.DataFrame(
+        {"subjID": subj_ids, "gender ": [i % 2 for i in range(n_subjs)]}
+    ).to_csv(sex_csv, index=False)
+    return subj_ids, sex_csv
+
+
+def make_design_csv(root, out_csv, control=True, seed=0):
+    """Build the design CSV directly (bypassing the preproc CLI) from a tree
+    written by make_subject_tree.  Schema matches pre_proc_vaefmri.py:126-133."""
+    from vaegam_tpu.utils.signals import (
+        control_stimulus_to_neural,
+        stimulus_to_neural,
+    )
+    from vaegam_tpu.utils.stats import zscore
+
+    rows = []
+    subjs = sorted(d for d in os.listdir(root) if d.startswith("sub-"))
+    sex_df = pd.read_csv(os.path.join(root, "sex_info.csv"))
+    for subj in subjs:
+        sdir = os.path.join(root, subj)
+        nii = next(
+            os.path.join(sdir, f) for f in os.listdir(sdir) if f.endswith(".nii.gz")
+        )
+        tsv = next(
+            os.path.join(sdir, f) for f in os.listdir(sdir) if f.endswith(".tsv")
+        )
+        mot = pd.read_csv(tsv, sep="\t")
+        img = nifti.load(nii)
+        n_vols = img.shape[3]
+        vol_times = np.arange(1, n_vols + 1) * TR
+        neural = (control_stimulus_to_neural if control else stimulus_to_neural)(
+            vol_times
+        )
+        sex = sex_df.loc[sex_df["subjID"] == subj, "gender "].iloc[0]
+        for v in range(n_vols):
+            rows.append(
+                (subj, v, nii, neural[v], mot["trans_x"][v], mot["trans_y"][v],
+                 mot["trans_z"][v], mot["rot_x"][v], mot["rot_y"][v],
+                 mot["rot_z"][v], sex)
+            )
+    df = pd.DataFrame(
+        rows,
+        columns=["subjid", "volume #", "nii_path", "task", "x", "y", "z",
+                 "rot_x", "rot_y", "rot_z", "sex"],
+    )
+    df = zscore(df)
+    df.to_csv(out_csv)
+    return out_csv

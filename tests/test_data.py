@@ -1,0 +1,86 @@
+"""Dataset/loader contract tests (reference DataClass_GP.py)."""
+
+import numpy as np
+import pytest
+
+from e2e_helpers import make_design_csv, make_subject_tree
+from vaegam_tpu.data import GLOBAL_SCALE, DataLoader, FMRIDataset, setup_data_loaders
+
+
+@pytest.fixture(scope="module")
+def csvs(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("fake_subjects"))
+    make_subject_tree(root, n_subjs=2, n_vols=6)
+    train = make_design_csv(root, str(tmp_path_factory.mktemp("csv") / "train.csv"))
+    return root, train
+
+
+def test_dataset_item_contract(csvs):
+    _, train = csvs
+    ds = FMRIDataset(train)
+    assert len(ds) == 12  # 2 subjects x 6 vols
+    item = ds[0]
+    assert item["covariates"].shape == (8,)
+    assert item["volume"].shape == (41, 49, 35)
+    assert item["subjid"] == 0 and ds[6]["subjid"] == 1
+    assert item["vol_num"] == 0 and ds[5]["vol_num"] == 5
+    # global scaling by 3284.5 applied
+    from vaegam_tpu.utils import nifti
+    raw = np.asarray(nifti.load(ds._nii_paths[0]).dataobj)[:, :, :, 0]
+    np.testing.assert_allclose(
+        item["volume"], raw / GLOBAL_SCALE, rtol=1e-6
+    )
+
+
+def test_gather_matches_items(csvs):
+    _, train = csvs
+    ds = FMRIDataset(train)
+    batch = ds.gather(np.array([0, 3, 7]))
+    assert batch["volume"].shape == (3, 41, 49, 35)
+    for k, i in enumerate([0, 3, 7]):
+        item = ds[i]
+        np.testing.assert_allclose(batch["volume"][k], item["volume"], rtol=1e-6)
+        np.testing.assert_array_equal(batch["covariates"][k], item["covariates"])
+        assert batch["subjid"][k] == item["subjid"]
+
+
+def test_loader_shuffle_and_coverage(csvs):
+    _, train = csvs
+    ds = FMRIDataset(train)
+    loader = DataLoader(ds, batch_size=5, shuffle=True, seed=0)
+    seen = []
+    orders = []
+    for _ in range(2):
+        epoch_ids = []
+        for batch in loader:
+            epoch_ids.extend(
+                (batch["subjid"] * 100 + batch["vol_num"]).tolist()
+            )
+        orders.append(tuple(epoch_ids))
+        seen.append(sorted(epoch_ids))
+    assert seen[0] == seen[1]           # full coverage every epoch
+    assert orders[0] != orders[1]       # reshuffled across epochs
+    assert len(seen[0]) == 12
+
+
+def test_setup_data_loaders_keys(csvs):
+    _, train = csvs
+    loaders = setup_data_loaders(batch_size=4, train_csv=train, test_csv=train)
+    assert set(loaders) == {"Shuffled_train", "UnShuffled_train", "test"}
+    assert len(loaders["Shuffled_train"].dataset) == 12
+    # unshuffled loader preserves csv order
+    first = next(iter(loaders["UnShuffled_train"]))
+    np.testing.assert_array_equal(first["vol_num"], [0, 1, 2, 3])
+
+
+def test_sharded_loader_partitions_rows(csvs):
+    _, train = csvs
+    ds = FMRIDataset(train)
+    all_rows = []
+    for shard in range(3):
+        loader = DataLoader(ds, batch_size=4, shard_index=shard, num_shards=3)
+        for batch in loader:
+            all_rows.extend(
+                (batch["subjid"] * 100 + batch["vol_num"]).tolist()
+            )
+    assert len(all_rows) == 12 and len(set(all_rows)) == 12

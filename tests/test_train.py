@@ -1,0 +1,98 @@
+"""Trainer integration tests: loss decreases, checkpoint round-trips."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from e2e_helpers import make_design_csv, make_subject_tree
+from vaegam_tpu.data import setup_data_loaders
+from vaegam_tpu.models import VAEGAMConfig
+from vaegam_tpu.train import Trainer, checkpoint_filename
+from vaegam_tpu.utils.stats import get_xu_ranges
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("subjects"))
+    make_subject_tree(root, n_subjs=1, n_vols=8)
+    csv_dir = tmp_path_factory.mktemp("csvs")
+    train = make_design_csv(root, str(csv_dir / "train.csv"))
+    loaders = setup_data_loaders(batch_size=4, train_csv=train, test_csv=train)
+    xu_ranges = get_xu_ranges([train, train])
+    return train, loaders, xu_ranges
+
+
+def test_short_training_decreases_loss(setup, tmp_path):
+    _, loaders, xu_ranges = setup
+    config = VAEGAMConfig(nf=2, num_latents=8)
+    trainer = Trainer(config, xu_ranges, glm_maps=None,
+                      save_dir=str(tmp_path), enable_tb=False)
+    # deterministic before/after comparison: same fixed key, same batch
+    batch = next(iter(loaders["UnShuffled_train"]))
+    covs, x = trainer._put_batch(batch)
+    fixed_key = jax.random.PRNGKey(42)
+    before = float(trainer._eval_step(trainer.params, fixed_key, covs, x)[0])
+    losses = [trainer.train_epoch(loaders["Shuffled_train"]) for _ in range(5)]
+    after = float(trainer._eval_step(trainer.params, fixed_key, covs, x)[0])
+    assert all(np.isfinite(l) for l in losses)
+    assert after < before
+    assert trainer.epoch == 5
+    assert trainer.check_gp_stability()
+
+
+def test_train_loop_checkpoints_and_tests(setup, tmp_path):
+    _, loaders, xu_ranges = setup
+    config = VAEGAMConfig(nf=2, num_latents=8)
+    trainer = Trainer(config, xu_ranges, glm_maps=None,
+                      save_dir=str(tmp_path), enable_tb=False)
+    trainer.train_loop(loaders, epochs=3, test_freq=2, save_freq=2,
+                       save_dir=str(tmp_path))
+    assert os.path.exists(tmp_path / checkpoint_filename(2))
+    assert 2 in trainer.loss["test"] and 0 in trainer.loss["test"]
+    assert set(trainer.loss["train"]) == {0, 1, 2}
+
+
+def test_checkpoint_resume_bitwise(setup, tmp_path):
+    """save -> load must restore params, opt state, epoch, and produce the
+    exact same subsequent training trajectory."""
+    _, loaders, xu_ranges = setup
+    config = VAEGAMConfig(nf=2, num_latents=8)
+    t1 = Trainer(config, xu_ranges, glm_maps=None,
+                 save_dir=str(tmp_path), seed=7, enable_tb=False)
+    t1.train_epoch(loaders["Shuffled_train"])
+    ckpt = str(tmp_path / checkpoint_filename(1))
+    t1.save_state(ckpt)
+
+    t2 = Trainer(config, xu_ranges, glm_maps=None,
+                 save_dir=str(tmp_path), seed=7, enable_tb=False)
+    t2.load_state(ckpt)
+    assert t2.epoch == 1
+    for a, b in zip(jax.tree_util.tree_leaves(t1.params),
+                    jax.tree_util.tree_leaves(t2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(t1.opt_state),
+                    jax.tree_util.tree_leaves(t2.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # same data order (unshuffled loader) + same PRNG stream after resume
+    # is not guaranteed (t1's key advanced), so compare eval losses instead
+    batch = next(iter(loaders["UnShuffled_train"]))
+    key = jax.random.PRNGKey(0)
+    covs1, x1 = t1._put_batch(batch)
+    l1, _ = t1._eval_step(t1.params, key, covs1, x1)
+    l2, _ = t2._eval_step(t2.params, key, covs1, x1)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-6)
+
+
+def test_z_dim_mismatch_rejected(setup, tmp_path):
+    _, loaders, xu_ranges = setup
+    t1 = Trainer(VAEGAMConfig(), xu_ranges, glm_maps=None,
+                 save_dir=str(tmp_path), enable_tb=False)
+    ckpt = str(tmp_path / "c.tar")
+    t1.save_state(ckpt)
+    t2 = Trainer(VAEGAMConfig(num_latents=16), xu_ranges, glm_maps=None,
+                 save_dir=str(tmp_path), enable_tb=False)
+    with pytest.raises(AssertionError):
+        t2.load_state(ckpt)

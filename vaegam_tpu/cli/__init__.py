@@ -1,0 +1,7 @@
+"""CLI entry points — flag-for-flag equivalents of the reference scripts.
+
+  python -m vaegam_tpu.cli.preproc     <-> pre_proc_vaefmri.py
+  python -m vaegam_tpu.cli.add_signal  <-> add_control_signal.py
+  python -m vaegam_tpu.cli.beta_maps   <-> get_beta_map_regularizer.py
+  python -m vaegam_tpu.cli.train       <-> multsubj_reg_run_GP.py
+"""

@@ -1,0 +1,144 @@
+"""Synthetic control-signal injector CLI.
+
+Flag-for-flag equivalent of the reference add_control_signal.py (:32-43):
+  --root_dir --intensity --shape --radius --size --nii_file_pattern
+
+Behavioral contract:
+  * shape == 'simple': four octahedral (L1) spheres added at the reference's
+    frontal-lobe coordinates (add_control_signal.py:75-87);
+  * any other shape: a binary 13x13 handwritten-style '3' broadcast over 10
+    slices and inserted at [15:25, 34:47, 9:22] (:89-123).  The reference
+    downloads MNIST via torchvision; this environment has no network and no
+    torchvision, so an embedded 13x13 binary stencil of a '3' is used (the
+    reference binarizes the digit to a 0/1 mask anyway — the stencil plays
+    the same role as ground-truth signal for control experiments);
+  * modulation by the control stimulus series (first block ON);
+  * output written next to the original as
+    {orig}_ALTERED_{shape}_{int}_simple_ts_{MM_DD_YYYY}.nii.gz, never
+    overwriting the source (:149-154).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+from scipy import ndimage
+
+from ..utils import nifti
+from ..utils.signals import control_stimulus_to_neural
+from ..utils.stats import mk_spherical_mask
+from .preproc import discover_subjects
+
+IMG_SHAPE = (41, 49, 35, 98)
+TR = 1.4
+
+# 13x13 binary '3' stencil (stands in for the binarized MNIST digit '3';
+# reference add_control_signal.py:105-113 produces an equivalent 0/1 mask)
+THREE_STENCIL = np.array(
+    [
+        [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0],
+        [0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0],
+        [0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 0, 0],
+        [0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 0, 0, 0],
+        [0, 0, 0, 0, 0, 1, 1, 1, 1, 0, 0, 0, 0],
+        [0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 0, 0, 0],
+        [0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 0, 0],
+        [0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 0, 0],
+        [0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 0, 0],
+        [0, 1, 1, 0, 0, 0, 1, 1, 1, 1, 0, 0, 0],
+        [0, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0],
+        [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    ],
+    dtype=np.float64,
+)
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        description="user args for add_control_signal script."
+    )
+    parser.add_argument("--root_dir", type=str, metavar="N", default="",
+                        help="Root dir where original .nii and .tsv files are located.")
+    parser.add_argument("--intensity", type=float, metavar="N", default=1000,
+                        help="Intensity of synthetic signal added to data.")
+    parser.add_argument("--shape", type=str, metavar="N", default="simple",
+                        help="Shape of signal added. Simple refers to 4 spheres. Any other str will yield a hand-written 3.")
+    parser.add_argument("--radius", type=int, metavar="N", default=1,
+                        help="Radius of spheres to be added. Only used if shape == simple.")
+    parser.add_argument("--size", type=int, metavar="N", default=7,
+                        help="Dim of 3D array containing spherical masks. This is an A*A*A cube. Only used if shape == simple")
+    parser.add_argument("--nii_file_pattern", type=str, metavar="N",
+                        default="sub-A000*_preproc_bold_brainmasked_resampled.nii.gz",
+                        help="General pattern for filenames of nifti files to be used.")
+    return parser
+
+
+def build_control_signal(shape: str, intensity: float, radius: int,
+                         size: int, img_shape=IMG_SHAPE) -> np.ndarray:
+    control_sig = np.zeros((img_shape[0], img_shape[1], img_shape[2]))
+    if shape == "simple":
+        spherical_mask = intensity * mk_spherical_mask(size=size, radius=radius)
+        control_sig[15:22, 34:41, 14:21] += spherical_mask
+        control_sig[13:20, 38:45, 15:22] += spherical_mask
+        control_sig[20:27, 38:45, 15:22] += spherical_mask
+        control_sig[16:23, 38:45, 20:27] += spherical_mask
+    else:
+        sig = intensity * THREE_STENCIL
+        rot_sig = ndimage.rotate(sig, -90)
+        signal = np.broadcast_to(rot_sig, (10, 13, 13))
+        control_sig[15:25, 34:47, 9:22] += signal
+    return control_sig
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.root_dir == "":
+        args.root_dir = os.getcwd()
+    elif not os.path.exists(args.root_dir):
+        print("Root dir given does not exist!")
+        sys.exit(1)
+
+    subjs = discover_subjects(args.root_dir)
+    raw_data_files = []
+    for subj in subjs:
+        full_path = os.path.join(args.root_dir, subj)
+        for data_file in Path(full_path).rglob(args.nii_file_pattern):
+            raw_data_files.append(str(data_file))
+
+    control_sig = build_control_signal(
+        args.shape, args.intensity, args.radius, args.size
+    )
+
+    ts = datetime.datetime.now().date()
+    intensity_as_str = str(int(args.intensity))
+    written = []
+    for original_path in raw_data_files:
+        orig_nii = nifti.load(original_path)
+        orig = np.array(orig_nii.dataobj)
+        n_vols = orig.shape[3]
+        vol_times = np.arange(1, n_vols + 1) * TR
+        neural = control_stimulus_to_neural(vol_times)
+        # vectorized: add the signal to every ON volume at once
+        altered_data = orig + control_sig[..., None] * neural[None, None, None, :]
+        alt_path = (
+            original_path.rstrip(".nii.gz")
+            + "_ALTERED_" + args.shape + "_" + intensity_as_str
+            + "_simple_ts_" + ts.strftime("%m_%d_%Y") + ".nii.gz"
+        )
+        nifti.save(
+            nifti.Nifti1Image(altered_data, orig_nii.affine, orig_nii.header),
+            alt_path,
+        )
+        written.append(alt_path)
+        print(alt_path)
+    return written
+
+
+if __name__ == "__main__":
+    main()

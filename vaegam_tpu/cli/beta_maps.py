@@ -1,0 +1,126 @@
+"""GLM beta-map regularizer builder CLI.
+
+Flag-for-flag equivalent of the reference get_beta_map_regularizer.py (:18-25):
+  --root_dir --output_dir --data_dims --sex_covars_map
+
+Behavioral contract (get_beta_map_regularizer.py:47-107):
+  * subject discovery like preproc; one *_corrected.feat dir per subject;
+  * stack filtered_func_data.nii.gz into (voxels, sum_T);
+  * per-subject FSL design.mat -> [task col | last 6 motion cols];
+  * solve the GLM normal equations beta = (G^T G)^{-1} G^T Y^T;
+  * append the sex cope map, max-scale each map, write
+    scld_GLM_beta_maps.csv with columns [task,x,y,z,xrot,yrot,zrot,sex].
+
+TPU-native: the solve runs on device via jnp.linalg.lstsq (least-squares is
+numerically preferable to the explicit normal-equations inverse and agrees
+with it whenever G^T G is invertible, which the reference assumes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+import jax.numpy as jnp
+
+from ..utils import nifti
+from ..utils.stats import read_design_mat, scale_beta_maps
+from .preproc import discover_subjects
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        description="user args for beta map regularization script."
+    )
+    parser.add_argument("--root_dir", type=str, metavar="N", default="",
+                        help="Root directory containing subdirs for each subject and for .feat FSL analysis for each subject.")
+    parser.add_argument("--output_dir", type=str, metavar="N", default="",
+                        help="Output where resulting .csv file with beta maps should be written to.")
+    parser.add_argument("--data_dims", type=int, metavar="N", default="",
+                        nargs="+",
+                        help="Dimensions for fMRI data being processed. Should be in order x, y, z, time.")
+    parser.add_argument("--sex_covars_map", type=str, metavar="N", default="",
+                        help="Full path to sex covariate cope map produced in higher level analysis in FSL.")
+    return parser
+
+
+def solve_beta_maps(gamma: np.ndarray, filtered_data: np.ndarray) -> np.ndarray:
+    """beta = argmin ||gamma @ beta - Y^T||^2  — on device, batched over voxels."""
+    sol, *_ = jnp.linalg.lstsq(
+        jnp.asarray(gamma, jnp.float32), jnp.asarray(filtered_data.T, jnp.float32)
+    )
+    return np.asarray(sol, dtype=np.float64)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    data_dims = args.data_dims
+
+    if not os.path.exists(args.root_dir):
+        print("Root dir given does not exist!")
+        print("Cannot proceed w/out data!")
+        sys.exit(1)
+    if args.output_dir == "":
+        args.output_dir = os.getcwd()
+    elif not os.path.exists(args.output_dir):
+        os.makedirs(args.output_dir)
+
+    subjs = discover_subjects(args.root_dir)
+    assert len(subjs) != 0, (
+        "Could not find any subjID matching expected pattern on root dir."
+    )
+
+    feat_dirs = []
+    for subj in subjs:
+        subj_dir = os.path.join(args.root_dir, subj)
+        for feat_dir in Path(subj_dir).rglob("*_corrected.feat"):
+            feat_dirs.append(str(feat_dir))
+    assert len(subjs) == len(feat_dirs), "Not all subjs have .feat directories!"
+
+    all_subjs_data = []
+    for i, subj in enumerate(subjs):
+        fpath = os.path.join(feat_dirs[i], "filtered_func_data.nii.gz")
+        assert os.path.exists(fpath), (
+            f"Failed to find filtered data for subj {subj}"
+        )
+        subj_filtered = np.array(nifti.load(fpath).dataobj).reshape(
+            -1, data_dims[3]
+        )
+        all_subjs_data.append(subj_filtered)
+    filtered_data = np.concatenate(all_subjs_data, axis=1)
+
+    all_dms = []
+    for i, subj in enumerate(subjs):
+        mpath = os.path.join(feat_dirs[i], "design.mat")
+        assert os.path.exists(mpath), (
+            f"Failed to find design matrix for subj {subj}"
+        )
+        subj_mat = read_design_mat(mpath)
+        task_col = subj_mat[:, 0].reshape((data_dims[3], 1))
+        mot_cols = subj_mat[:, -6:]
+        all_dms.append(np.concatenate((task_col, mot_cols), axis=1))
+    gamma = np.concatenate(all_dms, axis=0)
+
+    beta_maps = solve_beta_maps(gamma, filtered_data)
+
+    sex_map = np.array(nifti.load(args.sex_covars_map).dataobj)
+    sex_map = np.expand_dims(sex_map.flatten(), axis=0)
+    beta_maps = np.concatenate([beta_maps, sex_map], axis=0)
+
+    scld_beta_maps = scale_beta_maps(beta_maps)
+    out = os.path.join(args.output_dir, "scld_GLM_beta_maps.csv")
+    pd.DataFrame(
+        scld_beta_maps.T,
+        columns=["task", "x", "y", "z", "xrot", "yrot", "zrot", "sex"],
+    ).to_csv(out)
+    print(out)
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""CSV-driven fMRI dataset + batched loaders (reference: DataClass_GP.py).
+
+Sample contract (DataClass_GP.py:19-71): each item is a dict
+  covariates: (8,) float32  [task, x, y, z, rot_x, rot_y, rot_z, sex]
+  volume:     (41,49,35) float32, globally scaled by 3284.5
+  subjid:     int64 subject index (order of first appearance in the csv)
+  vol_num:    volume number within the subject's 4D series
+
+CSV schema (written by the preproc CLI, read positionally like the
+reference): columns [index, subjid, "volume #", nii_path, task, x, y, z,
+rot_x, rot_y, rot_z, sex].
+
+TPU-first changes vs the reference:
+  * the reference re-loads and re-decodes the ENTIRE 4D NIfTI for every
+    sample (DataClass_GP.py:48-50) — the dominant input cost.  Here each
+    4D file is decoded once and memoized (bounded LRU), then sliced.
+  * batches are materialized as stacked numpy arrays ready for a single
+    jax.device_put per step (no per-item tensor conversion).
+  * loaders can shard rows across data-parallel processes
+    (shard_index/num_shards) for multi-host input pipelines.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+import pandas as pd
+
+from ..utils import nifti
+
+# global intensity scale across all volumes (DataClass_GP.py:49)
+GLOBAL_SCALE = 3284.5
+
+_COVARIATE_COLS = 4 + np.arange(8)  # task,x,y,z,rot_x,rot_y,rot_z,sex (iloc)
+
+
+class _VolumeCache:
+    """Bounded LRU cache of decoded 4D NIfTI arrays, keyed by path."""
+
+    def __init__(self, max_items: int = 32):
+        self.max_items = max_items
+        self._cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
+
+    def get(self, path: str) -> np.ndarray:
+        arr = self._cache.get(path)
+        if arr is None:
+            arr = np.asarray(nifti.load(path).dataobj, dtype=np.float32)
+            self._cache[path] = arr
+            if len(self._cache) > self.max_items:
+                self._cache.popitem(last=False)
+        else:
+            self._cache.move_to_end(path)
+        return arr
+
+
+class FMRIDataset:
+    """Per-volume samples backed by a design CSV."""
+
+    def __init__(self, csv_file: str, scale: float = GLOBAL_SCALE,
+                 cache_items: int = 32):
+        self.df = pd.read_csv(csv_file)
+        self.scale = np.float32(scale)
+        self._cache = _VolumeCache(cache_items)
+        # subject index by order of first appearance (DataClass_GP.py:31-33)
+        self._unique_subjs = self.df.subjid.unique().tolist()
+        self._subj_idx = np.array(
+            [self._unique_subjs.index(s) for s in self.df.iloc[:, 1]],
+            dtype=np.int64,
+        )
+        self._vol_nums = self.df.iloc[:, 2].to_numpy(dtype=np.int64)
+        self._nii_paths = self.df.iloc[:, 3].astype(str).to_numpy()
+        self._covariates = self.df.iloc[:, _COVARIATE_COLS].to_numpy(
+            dtype=np.float32
+        )
+
+    def __len__(self) -> int:
+        return len(self.df)
+
+    @property
+    def unique_subjs(self):
+        return list(self._unique_subjs)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        fmri = self._cache.get(self._nii_paths[idx])
+        vol_num = int(self._vol_nums[idx])
+        volume = fmri[:, :, :, vol_num] / self.scale
+        return {
+            "covariates": self._covariates[idx],
+            "volume": volume.astype(np.float32),
+            "subjid": self._subj_idx[idx],
+            "vol_num": np.int64(vol_num),
+        }
+
+    def gather(self, idxs: np.ndarray) -> Dict[str, np.ndarray]:
+        """Materialize one batch as stacked arrays (one device_put later)."""
+        vols = np.empty((len(idxs),) + self[0]["volume"].shape, np.float32) \
+            if len(idxs) else np.empty((0, 0, 0, 0), np.float32)
+        for k, i in enumerate(idxs):
+            fmri = self._cache.get(self._nii_paths[i])
+            vols[k] = fmri[:, :, :, self._vol_nums[i]]
+        vols /= self.scale
+        return {
+            "covariates": self._covariates[idxs],
+            "volume": vols,
+            "subjid": self._subj_idx[idxs],
+            "vol_num": self._vol_nums[idxs],
+        }
+
+
+class DataLoader:
+    """Batched iterator over an FMRIDataset.
+
+    shuffle=True reshuffles every epoch (fresh permutation per __iter__),
+    mirroring torch's RandomSampler semantics used by the reference
+    (DataClass_GP.py:77-87).  Optional row-sharding supports multi-process
+    data parallelism (each process sees rows [shard_index::num_shards]).
+    """
+
+    def __init__(
+        self,
+        dataset: FMRIDataset,
+        batch_size: int = 32,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = False,
+        shard_index: int = 0,
+        num_shards: int = 1,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+        self._rows = np.arange(len(dataset))[shard_index::num_shards]
+
+    def __len__(self) -> int:
+        n = len(self._rows)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._rows.copy()
+        if self.shuffle:
+            self._rng.shuffle(order)
+        for start in range(0, len(order), self.batch_size):
+            batch = order[start : start + self.batch_size]
+            if self.drop_last and len(batch) < self.batch_size:
+                return
+            yield self.dataset.gather(batch)
+
+
+def setup_data_loaders(
+    batch_size: int = 32,
+    shuffle=(True, False, False),
+    train_csv: str = "",
+    test_csv: str = "",
+    seed: int = 0,
+    shard_index: int = 0,
+    num_shards: int = 1,
+) -> Dict[str, DataLoader]:
+    """Three loaders keyed exactly like the reference (DataClass_GP.py:73-89):
+    Shuffled_train (training), UnShuffled_train (plots/recons), test."""
+    train_dataset = FMRIDataset(train_csv)
+    test_dataset = FMRIDataset(test_csv)
+    return {
+        "Shuffled_train": DataLoader(
+            train_dataset, batch_size, shuffle=shuffle[0], seed=seed,
+            shard_index=shard_index, num_shards=num_shards,
+        ),
+        "UnShuffled_train": DataLoader(
+            train_dataset, batch_size, shuffle=shuffle[1],
+            shard_index=shard_index, num_shards=num_shards,
+        ),
+        "test": DataLoader(
+            test_dataset, batch_size, shuffle=shuffle[2],
+            shard_index=shard_index, num_shards=num_shards,
+        ),
+    }

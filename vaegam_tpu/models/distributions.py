@@ -1,0 +1,107 @@
+"""Distribution math for the VAE-GAM: analytic, jit-safe, sampling-explicit.
+
+Replaces the reference's torch.distributions usage
+(vae_reg_GP.py:29,177,324-325,368-369,400-406; gp.py:41-65) with closed-form
+jnp implementations.  Everything here is shape-polymorphic pure functions —
+no distribution objects, PRNG keys threaded explicitly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# python float (weak-typed) so it follows the operand dtype under x64
+_LOG_2PI = float(np.log(2.0 * np.pi))
+
+
+# ---------------------------------------------------------------------------
+# Rank-1 low-rank multivariate normal  q(z) = N(mu, u u^T + diag(d))
+# (the encoder posterior; reference vae_reg_GP.py:236-252,324-325)
+# ---------------------------------------------------------------------------
+
+def lowrank_mvn_sample(key, mu, u, d):
+    """Reparameterized sample from N(mu, u u^T + diag(d)), rank-1 factor.
+
+    mu, d: (..., k); u: (..., k) (the single low-rank column).
+    z = mu + u * eps_W + sqrt(d) * eps_D  with eps_W: (..., 1), eps_D: (..., k),
+    matching torch's LowRankMultivariateNormal.rsample parameterization.
+    """
+    k_w, k_d = jax.random.split(key)
+    eps_w = jax.random.normal(k_w, mu.shape[:-1] + (1,), dtype=mu.dtype)
+    eps_d = jax.random.normal(k_d, mu.shape, dtype=mu.dtype)
+    return mu + u * eps_w + jnp.sqrt(d) * eps_d
+
+
+def lowrank_mvn_kl_to_std_normal(mu, u, d):
+    """Exact KL( N(mu, u u^T + diag(d)) || N(0, I) ), elementwise over batch.
+
+    Uses the matrix determinant lemma for the rank-1 update:
+        logdet(diag(d) + u u^T) = sum(log d) + log(1 + sum(u^2 / d))
+        tr(diag(d) + u u^T)     = sum(d) + sum(u^2)
+    This equals torch.distributions.kl_divergence between the two
+    LowRankMultivariateNormal objects the reference constructs
+    (vae_reg_GP.py:173-177,400).
+    """
+    k = mu.shape[-1]
+    tr = jnp.sum(d, axis=-1) + jnp.sum(u * u, axis=-1)
+    quad = jnp.sum(mu * mu, axis=-1)
+    logdet = jnp.sum(jnp.log(d), axis=-1) + jnp.log1p(jnp.sum(u * u / d, axis=-1))
+    return 0.5 * (tr + quad - k - logdet)
+
+
+# ---------------------------------------------------------------------------
+# Dense multivariate normal (the batch-coupled gain sample,
+# reference vae_reg_GP.py:368-369)
+# ---------------------------------------------------------------------------
+
+def mvn_sample(key, mean, cov):
+    """Sample N(mean, cov) via Cholesky; cov: (..., n, n), mean: (..., n).
+
+    Mirrors torch's MultivariateNormal.rsample (scale_tril @ eps).  A non-PSD
+    cov produces NaNs (jnp.linalg.cholesky returns NaN), the jit-safe analogue
+    of torch raising a ValueError.
+    """
+    chol = jnp.linalg.cholesky(cov)
+    eps = jax.random.normal(key, mean.shape, dtype=mean.dtype)
+    return mean + jnp.einsum("...ij,...j->...i", chol, eps)
+
+
+def mvn_kl(mu_q, cov_q, prior_var):
+    """KL( N(mu_q, cov_q) || N(0, prior_var * I) ), Cholesky-based.
+
+    cov_q: (..., n, n).  logdet via Cholesky so a non-PSD cov_q yields NaN —
+    the jit-safe analogue of the reference's hard failure in
+    gp.py:41-65 (where the diagnostics dump fires; see models/gp.py).
+    """
+    n = mu_q.shape[-1]
+    chol = jnp.linalg.cholesky(cov_q)
+    logdet_q = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1
+    )
+    tr = jnp.trace(cov_q, axis1=-2, axis2=-1) / prior_var
+    quad = jnp.sum(mu_q * mu_q, axis=-1) / prior_var
+    return 0.5 * (tr + quad - n + n * jnp.log(prior_var) - logdet_q)
+
+
+# ---------------------------------------------------------------------------
+# Univariate normals
+# ---------------------------------------------------------------------------
+
+def normal_log_prob(x, loc, scale):
+    """Elementwise log N(x | loc, scale^2) (scale is the std dev)."""
+    z = (x - loc) / scale
+    return -0.5 * z * z - jnp.log(scale) - 0.5 * _LOG_2PI
+
+
+def normal_kl(mu_q, sigma_q, mu_p, sigma_p):
+    """KL( N(mu_q, sigma_q^2) || N(mu_p, sigma_p^2) ), elementwise.
+
+    Used for the linear-gain weight kappa: posterior N(sa, std^2) vs prior
+    N(1, 0.5^2)  (reference vae_reg_GP.py:266-281).
+    """
+    var_ratio = (sigma_q / sigma_p) ** 2
+    t1 = ((mu_q - mu_p) / sigma_p) ** 2
+    return 0.5 * (var_ratio + t1 - 1.0 - jnp.log(var_ratio))

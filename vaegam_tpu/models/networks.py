@@ -1,0 +1,206 @@
+"""Encoder / decoder networks, pure JAX, NDHWC (feature-last) for TPU.
+
+Architecture contract (shapes must match the reference exactly):
+  * encoder — reference vae_reg_GP.py:187-204,236-252:
+      5x Conv3d (nf=8): 1->nf k3s1, nf->nf k3s2, nf->2nf k3s1, 2nf->2nf k3s2,
+      2nf->2nf k3s1, mapping (41,49,35) -> (6,8,4); batch-stat norm before
+      conv1/3/5; FC 768->200->100; three heads 100->50->num_latents producing
+      the rank-1 low-rank Gaussian (mu, u, d=exp(.)).
+  * decoder — reference vae_reg_GP.py:206-218,254-264:
+      FC z_dim->50->100->200->2nf*6*8*5; 5x ConvTranspose3d
+      (k3s1; k3s2 pad/outpad (1,0,1); k3s1; k(5,3,3)s2; k3s1) -> (41,49,35);
+      sigmoid output flattened to IMG_DIM.  The 6*8*4 encoder flatten vs
+      6*8*5 decoder seed asymmetry is intentional and preserved.
+
+TPU-first design choices (vs the torch original):
+  * NDHWC layout end-to-end (XLA's preferred conv layout on TPU);
+  * the "BatchNorm3d(track_running_stats=False)" layers normalize by batch
+    statistics in BOTH train and eval (that is what the torch module does
+    when running stats are off) — implemented directly as batch-stat norm;
+  * transposed convs are expressed as fractionally-strided
+    conv_general_dilated calls with explicit per-dim padding, which XLA maps
+    straight onto the MXU;
+  * init mirrors torch defaults (kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in))
+    for both weights and biases) so training dynamics are comparable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_DN = ("NDHWC", "DHWIO", "NDHWC")
+_BN_EPS = 1e-5
+
+
+# ---------------------------------------------------------------------------
+# init helpers (torch-default uniform bounds)
+# ---------------------------------------------------------------------------
+
+def _uniform(key, shape, bound, dtype):
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def _conv_init(key, kshape, dtype, fan_in):
+    """kshape: (D,H,W,I,O); torch Conv3d default init U(+-1/sqrt(fan_in))."""
+    k_w, k_b = jax.random.split(key)
+    bound = 1.0 / np.sqrt(fan_in)
+    return {
+        "w": _uniform(k_w, kshape, bound, dtype),
+        "b": _uniform(k_b, (kshape[-1],), bound, dtype),
+    }
+
+
+def _linear_init(key, in_f, out_f, dtype):
+    k_w, k_b = jax.random.split(key)
+    bound = 1.0 / np.sqrt(in_f)
+    return {
+        "w": _uniform(k_w, (in_f, out_f), bound, dtype),
+        "b": _uniform(k_b, (out_f,), bound, dtype),
+    }
+
+
+def _bn_init(ch, dtype):
+    return {"scale": jnp.ones((ch,), dtype), "shift": jnp.zeros((ch,), dtype)}
+
+
+# ---------------------------------------------------------------------------
+# layer applies
+# ---------------------------------------------------------------------------
+
+def _conv(x, p, stride):
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(stride,) * 3, padding="VALID",
+        dimension_numbers=_DN,
+    )
+    return y + p["b"]
+
+
+def _conv_t(x, p, stride, pad, outpad, ksize):
+    """Transposed conv as a fractionally-strided VALID conv.
+
+    Output size per dim: (i-1)*s + k - 2p + op, identical to torch's
+    ConvTranspose3d.  (Kernel is not spatially flipped — irrelevant for
+    freshly-initialized weights; documented for weight-porting.)
+    """
+    padding = tuple(
+        (k - 1 - p_, k - 1 - p_ + op) for k, p_, op in zip(ksize, pad, outpad)
+    )
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(1, 1, 1), padding=padding,
+        lhs_dilation=(stride,) * 3, dimension_numbers=_DN,
+    )
+    return y + p["b"]
+
+
+def _batch_stat_norm(x, p):
+    """Normalize with CURRENT batch statistics over (N,D,H,W), per channel.
+
+    Equivalent to torch BatchNorm3d(track_running_stats=False) in both train
+    and eval modes (biased variance).  reference vae_reg_GP.py:194-196,216-218.
+    """
+    axes = (0, 1, 2, 3)
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.var(x, axis=axes, keepdims=True)
+    xn = (x - mean) * jax.lax.rsqrt(var + _BN_EPS)
+    return xn * p["scale"] + p["shift"]
+
+
+def _linear(x, p):
+    return jnp.dot(x, p["w"]) + p["b"]
+
+
+def _relu(x):
+    return jnp.maximum(x, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+def init_encoder(key, nf: int, num_latents: int, dtype=jnp.float32):
+    ks = jax.random.split(key, 13)
+    flat = 2 * nf * 6 * 8 * 4
+    return {
+        "conv1": _conv_init(ks[0], (3, 3, 3, 1, nf), dtype, 1 * 27),
+        "conv2": _conv_init(ks[1], (3, 3, 3, nf, nf), dtype, nf * 27),
+        "conv3": _conv_init(ks[2], (3, 3, 3, nf, 2 * nf), dtype, nf * 27),
+        "conv4": _conv_init(ks[3], (3, 3, 3, 2 * nf, 2 * nf), dtype, 2 * nf * 27),
+        "conv5": _conv_init(ks[4], (3, 3, 3, 2 * nf, 2 * nf), dtype, 2 * nf * 27),
+        "bn1": _bn_init(1, dtype),
+        "bn3": _bn_init(nf, dtype),
+        "bn5": _bn_init(2 * nf, dtype),
+        "fc1": _linear_init(ks[5], flat, 200, dtype),
+        "fc2": _linear_init(ks[6], 200, 100, dtype),
+        "fc31": _linear_init(ks[7], 100, 50, dtype),
+        "fc32": _linear_init(ks[8], 100, 50, dtype),
+        "fc33": _linear_init(ks[9], 100, 50, dtype),
+        "fc41": _linear_init(ks[10], 50, num_latents, dtype),
+        "fc42": _linear_init(ks[11], 50, num_latents, dtype),
+        "fc43": _linear_init(ks[12], 50, num_latents, dtype),
+    }
+
+
+def encode(params, x, nf: int):
+    """x: (B, 41, 49, 35) -> (mu, u, d), each (B, num_latents).
+
+    u is the rank-1 covariance factor, d the (positive) diagonal.
+    """
+    h = x[..., None]  # NDHWC with C=1
+    h = _relu(_conv(_batch_stat_norm(h, params["bn1"]), params["conv1"], 1))
+    h = _relu(_conv(h, params["conv2"], 2))
+    h = _relu(_conv(_batch_stat_norm(h, params["bn3"]), params["conv3"], 1))
+    h = _relu(_conv(h, params["conv4"], 2))
+    h = _relu(_conv(_batch_stat_norm(h, params["bn5"]), params["conv5"], 1))
+    h = h.reshape(h.shape[0], -1)  # (B, 2nf*6*8*4) channel-last flatten
+    h = _relu(_linear(h, params["fc1"]))
+    h = _relu(_linear(h, params["fc2"]))
+    mu = _linear(_relu(_linear(h, params["fc31"])), params["fc41"])
+    u = _linear(_relu(_linear(h, params["fc32"])), params["fc42"])
+    d = jnp.exp(_linear(_relu(_linear(h, params["fc33"])), params["fc43"]))
+    return mu, u, d
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+def init_decoder(key, nf: int, z_dim: int, dtype=jnp.float32):
+    ks = jax.random.split(key, 9)
+    seed_flat = 2 * nf * 6 * 8 * 5
+    # ConvTranspose3d fan_in in torch is out_ch * prod(kernel)
+    return {
+        "fc5": _linear_init(ks[0], z_dim, 50, dtype),
+        "fc6": _linear_init(ks[1], 50, 100, dtype),
+        "fc7": _linear_init(ks[2], 100, 200, dtype),
+        "fc8": _linear_init(ks[3], 200, seed_flat, dtype),
+        "convt1": _conv_init(ks[4], (3, 3, 3, 2 * nf, 2 * nf), dtype, 2 * nf * 27),
+        "convt2": _conv_init(ks[5], (3, 3, 3, 2 * nf, 2 * nf), dtype, 2 * nf * 27),
+        "convt3": _conv_init(ks[6], (3, 3, 3, 2 * nf, nf), dtype, nf * 27),
+        "convt4": _conv_init(ks[7], (5, 3, 3, nf, nf), dtype, nf * 45),
+        "convt5": _conv_init(ks[8], (3, 3, 3, nf, 1), dtype, 1 * 27),
+        "bnt1": _bn_init(2 * nf, dtype),
+        "bnt3": _bn_init(2 * nf, dtype),
+        "bnt5": _bn_init(nf, dtype),
+    }
+
+
+def decode(params, z, nf: int):
+    """z: (B*, z_dim) -> sigmoid volume flattened to (B*, 70315)."""
+    h = _relu(_linear(z, params["fc5"]))
+    h = _relu(_linear(h, params["fc6"]))
+    h = _relu(_linear(h, params["fc7"]))
+    h = _relu(_linear(h, params["fc8"]))
+    h = h.reshape(-1, 6, 8, 5, 2 * nf)
+    h = _relu(_conv_t(_batch_stat_norm(h, params["bnt1"]), params["convt1"],
+                      1, (0, 0, 0), (0, 0, 0), (3, 3, 3)))
+    h = _relu(_conv_t(h, params["convt2"], 2, (1, 0, 1), (1, 0, 1), (3, 3, 3)))
+    h = _relu(_conv_t(_batch_stat_norm(h, params["bnt3"]), params["convt3"],
+                      1, (0, 0, 0), (0, 0, 0), (3, 3, 3)))
+    h = _relu(_conv_t(h, params["convt4"], 2, (0, 0, 0), (0, 0, 0), (5, 3, 3)))
+    h = _conv_t(_batch_stat_norm(h, params["bnt5"]), params["convt5"],
+                1, (0, 0, 0), (0, 0, 0), (3, 3, 3))
+    h = jax.nn.sigmoid(h)
+    return h.reshape(h.shape[0], -1)  # (B*, 41*49*35)

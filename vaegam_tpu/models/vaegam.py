@@ -1,0 +1,281 @@
+"""VAE-GAM core: parameter bank, composite ELBO forward pass.
+
+This is the TPU-first re-design of the reference's VAE class
+(vae_reg_GP.py:35-413).  Differences in *implementation* (the math is
+identical):
+
+  * the 9 decoder passes (base + 8 covariate effect maps,
+    vae_reg_GP.py:326-343) run as ONE batched decode over a (9*B) batch —
+    a single large conv workload for the MXU instead of 9 small ones;
+  * the 6 motion-covariate GP posteriors (vae_reg_GP.py:352-367) are one
+    vmap over stacked GP parameters;
+  * the per-covariate B x B gain samples (vae_reg_GP.py:368-369) are one
+    batched Cholesky over a (8, B, B) covariance stack;
+  * the GLM regularizer sum-of-cdist (vae_reg_GP.py:388-389) is computed in
+    closed form: cdist(cons, tile(glm_map, B)) sums to
+    B * sum_b ||cons_b - glm_map||_2, avoiding the B x B x D blowup;
+  * parameters live in one pytree; PRNG keys are explicit; everything under
+    forward() is jittable with static config.
+
+Parameter-bank contract (reference vae_reg_GP.py:52-177):
+  * epsilon: (41,49,35) per-voxel log-precision, init -log(10);
+  * covariate order: [task, x, y, z, xrot, yrot, zrot, sex];
+  * linear gain per covariate: sa ~ N(1,1), logstd ~ N(0,1);
+  * 6 motion covariates additionally carry a sparse GP:
+    xu = fixed linspace over data range (buffer, not trained),
+    qu_m ~ N(0,1) (P,), qu_S = 2 I (raw matrix, trained),
+    logkvar = 0, log_ls = 0;
+  * transforms: kvar = exp(logkvar)+0.1; ls = max_ls * sigmoid(exp(log_ls)+0.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.signals import hrf
+from . import gp as gp_mod
+from .distributions import (
+    lowrank_mvn_kl_to_std_normal,
+    mvn_sample,
+    normal_kl,
+    normal_log_prob,
+)
+from .networks import decode, encode, init_decoder, init_encoder
+
+# output map keys, in reference order (vae_reg_GP.py:308-309)
+MAP_KEYS = (
+    "base", "task", "x_mot", "y_mot", "z_mot",
+    "pitch_mot", "roll_mot", "yaw_mot", "sex", "full_rec",
+)
+
+# gp_params covariate key order (vae_reg_GP.py:68)
+COVARIATE_KEYS = ("task", "x", "y", "z", "xrot", "yrot", "zrot", "sex")
+MOTION_SLICE = slice(1, 7)  # the 6 motion covariates within COVARIATE_KEYS
+
+TR_SECONDS = 1.4
+HRF_WINDOW_SECONDS = 20.0
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEGAMConfig:
+    """Static model configuration (hashable; safe as a jit static arg)."""
+
+    nf: int = 8
+    num_covariates: int = 8
+    num_latents: int = 32
+    num_inducing_pts: int = 6
+    gp_kl_scale: float = 10.0
+    glm_reg_scale: float = 1.0
+    neural_covariates: bool = True
+    max_ls: float = 3.0
+    img_shape: Tuple[int, int, int] = (41, 49, 35)
+    # precision policy: fp32 on TPU (the reference keeps epsilon in fp64 on
+    # CUDA; we document fp32 as the TPU-native choice — see SURVEY.md §7)
+    dtype: Any = jnp.float32
+
+    @property
+    def z_dim(self) -> int:
+        return self.num_latents + self.num_covariates + 1
+
+    @property
+    def img_dim(self) -> int:
+        return int(np.prod(self.img_shape))
+
+    @property
+    def num_neural(self) -> int:
+        """How many leading covariates get HRF convolution.
+
+        The reference applies HRF to 1-based covariate index i when
+        i < num_covariates - 6 (vae_reg_GP.py:377) — i.e. the first
+        (num_covariates - 7) covariates; for the default 8 that is just task.
+        """
+        return max(0, self.num_covariates - 7)
+
+
+def hrf_kernel(dtype=jnp.float32) -> jnp.ndarray:
+    """HRF sampled at TR resolution over a 20 s window (vae_reg_GP.py:292)."""
+    return jnp.asarray(hrf(np.arange(0.0, HRF_WINDOW_SECONDS, TR_SECONDS)), dtype)
+
+
+def init_model(
+    key: jax.Array,
+    config: VAEGAMConfig,
+    xu_ranges,
+    glm_maps: Optional[np.ndarray] = None,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Build (params, consts) pytrees.
+
+    Args:
+      xu_ranges: list of 6 [lo, hi] ranges (utils.get_xu_ranges output).
+      glm_maps:  optional (img_dim, num_covariates+1) array — the reference's
+                 CSV read with its index column (vae_reg_GP.py:58-59), where
+                 columns 1..num_covariates are task..sex maps.  None disables
+                 the GLM regularizer term.
+    """
+    dt = config.dtype
+    k_enc, k_dec, k_sa, k_ls, k_qm = jax.random.split(key, 5)
+    n_cov, p = config.num_covariates, config.num_inducing_pts
+    n_mot = 6
+
+    params = {
+        "enc": init_encoder(k_enc, config.nf, config.num_latents, dt),
+        "dec": init_decoder(k_dec, config.nf, config.z_dim, dt),
+        "epsilon": jnp.full(config.img_shape, -np.log(10.0), dt),
+        "gp": {
+            # linear gain for ALL covariates: sa ~ N(1,1), logstd ~ N(0,1)
+            "sa": 1.0 + jax.random.normal(k_sa, (n_cov,), dt),
+            "logstd": jax.random.normal(k_ls, (n_cov,), dt),
+            # sparse-GP bank for the 6 motion covariates
+            "qu_m": jax.random.normal(k_qm, (n_mot, p), dt),
+            "qu_S": jnp.tile(2.0 * jnp.eye(p, dtype=dt), (n_mot, 1, 1)),
+            "logkvar": jnp.zeros((n_mot,), dt),
+            "log_ls": jnp.zeros((n_mot,), dt),
+        },
+    }
+    xu = jnp.stack(
+        [jnp.linspace(lo, hi, p, dtype=dt) for lo, hi in xu_ranges]
+    )  # (6, P)
+    consts = {
+        "xu": xu,
+        "hrf": hrf_kernel(dt),
+        "glm_maps": None if glm_maps is None else jnp.asarray(glm_maps, dt),
+    }
+    return params, consts
+
+
+def gp_transforms(gp_params, config: VAEGAMConfig):
+    """kvar = exp(logkvar)+0.1;  ls = max_ls * sigmoid(exp(log_ls)+0.5)."""
+    kvar = jnp.exp(gp_params["logkvar"]) + 0.1
+    ls = config.max_ls * jax.nn.sigmoid(jnp.exp(gp_params["log_ls"]) + 0.5)
+    return kvar, ls
+
+
+def _hrf_convolve(gains: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Causal HRF convolution over the batch axis, trimmed to batch length.
+
+    Reproduces the reference's Toeplitz-matmul conv applied to the *sampled
+    gain over the batch axis* (vae_reg_GP.py:283-305,377-378): equal to the
+    first B entries of the full 1-D convolution.
+    """
+    b = gains.shape[0]
+    return jnp.convolve(gains, kernel, mode="full")[:b]
+
+
+def forward(
+    params: Dict[str, Any],
+    consts: Dict[str, Any],
+    key: jax.Array,
+    covariates: jnp.ndarray,  # (B, num_covariates)
+    x: jnp.ndarray,           # (B, *img_shape)
+    config: VAEGAMConfig,
+    return_maps: bool = False,
+):
+    """Composite VAE-GAM objective (reference vae_reg_GP.py:307-413).
+
+    Returns (tot_loss, aux) where aux carries scalars
+    {elbo, gp_kl, glm_reg} and, when return_maps, 'z' (B, num_latents) and
+    'maps' — dict over MAP_KEYS of (B, img_dim) arrays.
+    """
+    b = x.shape[0]
+    n_cov = config.num_covariates
+    k_z, k_beta = jax.random.split(key)
+
+    # --- encoder & latent sample ------------------------------------------
+    mu, u, d = encode(params["enc"], x, config.nf)
+    # global d-floor: if ANY element is tiny, shift the WHOLE tensor
+    # (vae_reg_GP.py:321-323 — intentional parity with the reference)
+    d = jnp.where(jnp.any(d < 1e-6), d + 1e-6, d)
+    k_w, k_d = jax.random.split(k_z)
+    eps_w = jax.random.normal(k_w, (b, 1), dtype=mu.dtype)
+    eps_d = jax.random.normal(k_d, mu.shape, dtype=mu.dtype)
+    z = mu + u * eps_w + jnp.sqrt(d) * eps_d
+
+    # --- ONE batched decode for base + all covariate effect maps ----------
+    onehots = jnp.eye(n_cov + 1, dtype=z.dtype)                   # (9, 9)
+    zb = jnp.broadcast_to(z[None], (n_cov + 1, b, z.shape[-1]))
+    ohb = jnp.broadcast_to(onehots[:, None, :], (n_cov + 1, b, n_cov + 1))
+    zcat = jnp.concatenate([zb, ohb], axis=-1).reshape(
+        (n_cov + 1) * b, config.z_dim
+    )
+    decoded = decode(params["dec"], zcat, config.nf).reshape(
+        n_cov + 1, b, config.img_dim
+    )
+    base, diffs = decoded[0], decoded[1:]                         # (B,D), (C,B,D)
+
+    # --- gain (beta) distributions per covariate ---------------------------
+    gp_p = params["gp"]
+    xq = covariates.T                                             # (C, B)
+    sa, std = gp_p["sa"], jnp.exp(gp_p["logstd"])
+    # linear-weight KLs vs N(1, 0.5^2)  (vae_reg_GP.py:266-281,346-348)
+    lin_kl = jnp.sum(normal_kl(sa, std, 1.0, 0.5))
+    beta_mean = sa[:, None] * xq                                  # (C, B)
+    eye_b = jnp.eye(b, dtype=xq.dtype)
+    beta_cov = eye_b[None] * (std[:, None] ** 2 * xq**2)[:, None, :]  # (C,B,B)
+
+    # sparse GP for the 6 motion covariates, one vmap
+    kvar, ls = gp_transforms(gp_p, config)
+    f_bar, sigma = jax.vmap(gp_mod.evaluate_posterior)(
+        consts["xu"], kvar, ls, gp_p["qu_m"], gp_p["qu_S"], xq[MOTION_SLICE]
+    )
+    beta_mean = beta_mean.at[MOTION_SLICE].add(f_bar)
+    beta_cov = beta_cov.at[MOTION_SLICE].add(sigma)
+    gp_kls = jax.vmap(gp_mod.gp_kl)(gp_p["qu_m"], gp_p["qu_S"])   # (6,)
+    gp_kl_loss = lin_kl + jnp.sum(gp_kls)
+
+    # batch-coupled gain sample: one batched Cholesky over (C, B, B)
+    # (vae_reg_GP.py:368-369, jitter 1e-5)
+    gains = mvn_sample(k_beta, beta_mean, beta_cov + 1e-5 * eye_b[None])
+
+    # HRF-convolve neural covariates over the batch axis
+    # (vae_reg_GP.py:377-378 — batch position treated as time; quirk preserved)
+    if config.neural_covariates and config.num_neural > 0:
+        neural = jax.vmap(_hrf_convolve, in_axes=(0, None))(
+            gains[: config.num_neural], consts["hrf"]
+        )
+        gains = jnp.concatenate([neural, gains[config.num_neural:]], axis=0)
+
+    # --- compose reconstruction -------------------------------------------
+    cons = gains[:, :, None] * diffs                              # (C, B, D)
+    x_rec = base + jnp.sum(cons, axis=0)
+
+    # --- GLM regularizer ----------------------------------------------------
+    if consts["glm_maps"] is not None:
+        # reference: sum(cdist(cons_c, tile(glm_map_c, B)))  ==
+        #            B * sum_b ||cons_c[b] - glm_map_c||_2  (vae_reg_GP.py:388)
+        glm = consts["glm_maps"][:, 1 : n_cov + 1].T              # (C, D)
+        sq = jnp.sum((cons - glm[:, None, :]) ** 2, axis=-1)      # (C, B)
+        glm_reg = b * jnp.sum(jnp.sqrt(sq))
+    else:
+        glm_reg = jnp.asarray(0.0, x.dtype)
+
+    # --- ELBO ----------------------------------------------------------------
+    kl_z = lowrank_mvn_kl_to_std_normal(mu, u, d)                 # (B,)
+    obs_scale = jnp.exp(-params["epsilon"]).reshape(-1)           # (D,)
+    log_prob = jnp.sum(
+        normal_log_prob(x.reshape(b, -1), x_rec, obs_scale[None, :]), axis=-1
+    )
+    elbo = jnp.mean(-kl_z + log_prob)
+    tot_loss = (
+        -elbo + config.gp_kl_scale * gp_kl_loss + config.glm_reg_scale * glm_reg
+    )
+
+    aux: Dict[str, Any] = {
+        "elbo": elbo,
+        "gp_kl": gp_kl_loss,
+        "glm_reg": glm_reg,
+        "beta_mean": beta_mean,
+        "beta_cov_diag": jnp.diagonal(beta_cov, axis1=-2, axis2=-1),
+    }
+    if return_maps:
+        aux["z"] = z
+        maps = {"base": base, "full_rec": x_rec}
+        for j, mkey in enumerate(MAP_KEYS[1:-1]):                 # task..sex
+            maps[mkey] = cons[j]
+        aux["maps"] = maps
+    return tot_loss, aux

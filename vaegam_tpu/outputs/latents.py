@@ -1,0 +1,69 @@
+"""Latent-space 2D projection plot (reference vae_reg_GP.py:542-583).
+
+Encodes the full UnShuffled_train set (posterior means only), projects to
+2D, and scatters per-subject chunks of ``split`` volumes.
+
+Projection backend: umap-learn if installed (UMAP(n_components=2,
+n_neighbors=20, min_dist=0.1, random_state=42) — the reference's exact
+settings); otherwise a deterministic sklearn PCA fallback (documented: this
+environment ships without umap-learn).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+import jax  # noqa: E402
+
+from ..models.networks import encode  # noqa: E402
+
+
+def _project_2d(latent: np.ndarray) -> np.ndarray:
+    try:
+        from umap import UMAP
+
+        transform = UMAP(
+            n_components=2, n_neighbors=20, min_dist=0.1,
+            metric="euclidean", random_state=42,
+        )
+        return transform.fit_transform(latent)
+    except ImportError:
+        from sklearn.decomposition import PCA
+
+        return PCA(n_components=2, random_state=42).fit_transform(latent)
+
+
+def project_latent(trainer, loaders_dict, save_dir, title=None, split=98):
+    filename = str(trainer.epoch).zfill(3) + "_temp.pdf"
+    file_path = os.path.join(save_dir, filename)
+
+    nf = trainer.config.nf
+    enc = jax.jit(lambda p, x: encode(p, x, nf)[0])
+    chunks = []
+    for sample in loaders_dict["UnShuffled_train"]:
+        _, x = trainer._put_batch(sample)
+        chunks.append(np.asarray(enc(trainer.params["enc"], x)))
+    latent = np.concatenate(chunks, axis=0)
+
+    projection = _project_2d(latent)
+
+    c_list = ["b", "g", "r", "c", "m", "y", "k", "orange", "blueviolet",
+              "hotpink", "lime", "skyblue", "teal", "sienna"]
+    colors = itertools.cycle(c_list)
+    plt.clf()
+    for i in range(0, len(latent), split):
+        plt.scatter(projection[i:i + split, 0], projection[i:i + split, 1],
+                    color=next(colors), s=1.0, alpha=0.6)
+        plt.axis("off")
+    if title is not None:
+        plt.title(title)
+    plt.savefig(file_path)
+    return latent, projection

@@ -1,0 +1,140 @@
+"""Volume reconstruction + subject/group averaged NIfTI maps.
+
+Reference behavior preserved:
+  * reconstruct (vae_reg_GP.py:585-620): per batch, forward with maps; for
+    each of the 10 map keys and each element, write
+    {save_dir}/vol_{n}/recon_{key}.nii with the subject's reference
+    affine+header.
+  * mk_single_volumes (build_model_recons.py:15-38): creates
+    reconstructions/{epoch:03d}_model_recons/{subj}/ then reconstructs.
+  * mk_avg_maps (build_model_recons.py:40-116): per-subject averages of the
+    written per-volume files, then the grand average;
+    {map}_avg.nii files under {epoch:03d}_avg_model_recons/.
+
+TPU-first: device compute is one jitted maps-forward per batch; NIfTI writes
+are host-side.  Subject averages additionally accumulate in memory during
+the per-volume pass (numerically identical to re-reading the files, since
+the on-disk copies are the same float32 arrays we averaged).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+
+import jax
+
+from ..models.vaegam import MAP_KEYS
+from ..utils import nifti
+
+IMG_SHAPE = (41, 49, 35)
+
+
+def reconstruct(trainer, loader, ref_niis: List[str], save_dirs: List[str]):
+    """Write recon_{key}.nii per volume per map key under each subject dir.
+
+    Args mirror VAE.reconstruct (vae_reg_GP.py:585-594): ref_niis and
+    save_dirs are indexed by the subject index found in each sample.
+    Returns {subj_idx: {key: running-sum map}} plus counts for averaging.
+    """
+    ref_imgs = {}
+    sums: Dict[int, Dict[str, np.ndarray]] = {}
+    counts: Dict[int, int] = {}
+    for sample in loader:
+        covs, x = trainer._put_batch(sample)
+        _, aux = trainer._maps_step(trainer.params, trainer._next_key(), covs, x)
+        maps = {k: np.asarray(v) for k, v in aux["maps"].items()}
+        for i in range(covs.shape[0]):
+            subj_idx = int(sample["subjid"][i])
+            vol_num = int(sample["vol_num"][i])
+            vol_dir = os.path.join(save_dirs[subj_idx], f"vol_{vol_num}")
+            os.makedirs(vol_dir, exist_ok=True)
+            if subj_idx not in ref_imgs:
+                ref_imgs[subj_idx] = nifti.load(ref_niis[subj_idx])
+            ref = ref_imgs[subj_idx]
+            acc = sums.setdefault(
+                subj_idx, {k: np.zeros(IMG_SHAPE, np.float64) for k in MAP_KEYS}
+            )
+            counts[subj_idx] = counts.get(subj_idx, 0) + 1
+            for key in MAP_KEYS:
+                recon = maps[key][i].reshape(IMG_SHAPE).astype(np.float32)
+                acc[key] += recon
+                nifti.save(
+                    nifti.Nifti1Image(recon, ref.affine, ref.header),
+                    os.path.join(vol_dir, f"recon_{key}.nii"),
+                )
+    return sums, counts
+
+
+def mk_single_volumes(loader, trainer, csv_file: str, save_dir: str):
+    """Create per-subject dirs and reconstruct every volume."""
+    dset = pd.read_csv(csv_file)
+    subjs = dset.subjid.unique().tolist()
+    ref_niis = dset.nii_path.unique().tolist()
+    ckpt_num = str(trainer.epoch).zfill(3)
+    subj_dirs = []
+    for subj in subjs:
+        subj_dir = os.path.join(
+            save_dir, "reconstructions", f"{ckpt_num}_model_recons", subj
+        )
+        os.makedirs(subj_dir, exist_ok=True)
+        subj_dirs.append(subj_dir)
+    return reconstruct(trainer, loader, ref_niis, subj_dirs)
+
+
+def mk_avg_maps(csv_file: str, trainer, save_dir: str,
+                mk_motion_maps: bool = False):
+    """Subject-level and grand-average maps from the written per-volume files.
+
+    Re-reads the recon_{key}.nii files exactly like the reference
+    (build_model_recons.py:86-92) so the output is a pure function of what
+    is on disk.
+    """
+    ckpt_num = str(trainer.epoch).zfill(3)
+    sngl_vols_dir = os.path.join(
+        save_dir, "reconstructions", f"{ckpt_num}_model_recons"
+    )
+    avg_vols_dir = os.path.join(
+        save_dir, "reconstructions", f"{ckpt_num}_avg_model_recons"
+    )
+    os.makedirs(avg_vols_dir, exist_ok=True)
+    dset = pd.read_csv(csv_file)
+    ref_niis = dset.nii_path.unique().tolist()
+    subjs = dset.subjid.unique().tolist()
+    maps = list(MAP_KEYS)
+    # reference order: base, task, full_rec, then motion, then sex
+    maps = ["base", "task", "full_rec", "x_mot", "y_mot", "z_mot",
+            "pitch_mot", "roll_mot", "yaw_mot", "sex"]
+    if not mk_motion_maps:
+        maps = [maps[i] for i in (0, 1, 2, 9)]
+    for key in maps:
+        gd_avg = np.zeros(IMG_SHAPE, np.float64)
+        for s, subj in enumerate(subjs):
+            subj_dir = os.path.join(sngl_vols_dir, subj)
+            vol_dirs = os.listdir(subj_dir)
+            subj_avg_dir = os.path.join(avg_vols_dir, subj)
+            os.makedirs(subj_avg_dir, exist_ok=True)
+            subj_map = np.zeros(IMG_SHAPE, np.float64)
+            for vd in vol_dirs:
+                vol = np.asarray(
+                    nifti.load(
+                        os.path.join(subj_dir, vd, f"recon_{key}.nii")
+                    ).dataobj
+                )
+                subj_map += vol
+            subj_map /= len(vol_dirs)
+            _save_map(subj_map, ref_niis[s], subj_avg_dir, key)
+            gd_avg += subj_map
+        gd_avg /= len(subjs)
+        _save_map(gd_avg, ref_niis[0], avg_vols_dir, key)
+
+
+def _save_map(map_arr, reference, save_dir, ext):
+    ref = nifti.load(reference)
+    nifti.save(
+        nifti.Nifti1Image(map_arr.astype(np.float32), ref.affine, ref.header),
+        os.path.join(save_dir, f"{ext}_avg.nii"),
+    )

@@ -1,0 +1,280 @@
+"""Training runtime: jitted train/eval steps + epoch loop + observability.
+
+Reference behavior preserved (vae_reg_GP.py:415-450,691-715):
+  * Adam(lr=1e-3 default) over ALL parameters (torch-default betas/eps);
+  * per-epoch train loss = sum of batch losses / len(dataset);
+  * stdout prints "Epoch: N Average loss: ..." / "Test loss: ...";
+  * TB scalar Loss/Train per epoch + q(u)/q(kappa) figures per epoch;
+  * test every test_freq epochs, checkpoint_{epoch:03d}.tar every save_freq
+    (skipping epoch 0); resume restores params/opt state/epoch/loss history.
+
+TPU-first changes:
+  * ONE jitted step (value_and_grad + optax update) with donated buffers;
+  * batch device_put'ed once per step; loss fetched lazily (device scalars
+    accumulated, synced once per epoch) to keep the dispatch pipeline full;
+  * per-batch figure logging (the reference's biggest self-inflicted
+    slowdown, vae_reg_GP.py:333-337,372,384-398) is gated by
+    ``log_figs_every`` (0 = off, N = every N batches; tags unchanged);
+  * optional jax.sharding.Mesh: batches are placed sharded along the 'data'
+    axis, params replicated — XLA inserts the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import pickle
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import VAEGAMConfig, forward, init_model
+from ..models.vaegam import COVARIATE_KEYS
+from ..utils import tb
+from .checkpoint import checkpoint_filename, load_checkpoint, save_checkpoint
+
+
+class Trainer:
+    """Owns params/opt_state/epoch and drives training (reference VAE class)."""
+
+    def __init__(
+        self,
+        config: VAEGAMConfig,
+        xu_ranges,
+        glm_maps: Optional[np.ndarray] = None,
+        save_dir: str = "",
+        lr: float = 1e-3,
+        seed: int = 1,
+        log_figs_every: int = 0,
+        mesh: Optional[Mesh] = None,
+        enable_tb: bool = True,
+    ):
+        self.config = config
+        self.save_dir = save_dir
+        self.lr = lr
+        self.log_figs_every = log_figs_every
+        self.mesh = mesh
+        if save_dir and not os.path.exists(save_dir):
+            os.makedirs(save_dir)
+
+        key = jax.random.PRNGKey(seed)
+        self._key, init_key = jax.random.split(key)
+        self.params, self.consts = init_model(init_key, config, xu_ranges, glm_maps)
+        self.tx = optax.adam(lr)
+        self.opt_state = self.tx.init(self.params)
+        self.epoch = 0
+        self.loss: Dict[str, Dict[int, float]] = {"train": {}, "test": {}}
+
+        self.writer = None
+        if enable_tb and save_dir:
+            ts = datetime.datetime.now().date()
+            self.writer = tb.make_writer(
+                os.path.join(save_dir, "run", ts.strftime("%m_%d_%Y"))
+            )
+
+        if mesh is not None:
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+            self._replicated = NamedSharding(mesh, P())
+            self.params = jax.device_put(self.params, self._replicated)
+            self.opt_state = jax.device_put(self.opt_state, self._replicated)
+            self.consts = jax.device_put(self.consts, self._replicated)
+        else:
+            self._batch_sharding = None
+            self._replicated = None
+
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step(return_maps=False)
+        self._maps_step = self._build_eval_step(return_maps=True)
+
+    # ------------------------------------------------------------------ jit
+    def _build_train_step(self):
+        config, tx, consts = self.config, self.tx, self.consts
+
+        def step(params, opt_state, key, covariates, x):
+            (loss, aux), grads = jax.value_and_grad(forward, has_aux=True)(
+                params, consts, key, covariates, x, config
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, aux
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def _build_eval_step(self, return_maps: bool):
+        config, consts = self.config, self.consts
+
+        def step(params, key, covariates, x):
+            return forward(
+                params, consts, key, covariates, x, config,
+                return_maps=return_maps,
+            )
+
+        return jax.jit(step)
+
+    # ------------------------------------------------------------- plumbing
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _put_batch(self, sample):
+        covs = jnp.asarray(sample["covariates"], self.config.dtype)
+        x = jnp.asarray(sample["volume"], self.config.dtype)
+        if self._batch_sharding is not None:
+            covs = jax.device_put(covs, self._batch_sharding)
+            x = jax.device_put(x, self._batch_sharding)
+        return covs, x
+
+    # --------------------------------------------------------------- epochs
+    def train_epoch(self, train_loader) -> float:
+        losses = []
+        for batch_idx, sample in enumerate(train_loader):
+            covs, x = self._put_batch(sample)
+            self.params, self.opt_state, loss, aux = self._train_step(
+                self.params, self.opt_state, self._next_key(), covs, x
+            )
+            losses.append(loss)
+            if (
+                self.writer is not None
+                and self.log_figs_every
+                and batch_idx % self.log_figs_every == 0
+            ):
+                self._log_batch_figures(covs, x, aux, "train")
+        train_loss = float(np.sum([np.asarray(l) for l in losses]))
+        train_loss /= len(train_loader.dataset)
+        print(f"Epoch: {self.epoch} Average loss: {train_loss:.4f}")
+        self.epoch += 1
+        return train_loss
+
+    def test_epoch(self, test_loader) -> float:
+        losses = []
+        for sample in test_loader:
+            covs, x = self._put_batch(sample)
+            loss, _ = self._eval_step(self.params, self._next_key(), covs, x)
+            losses.append(loss)
+        test_loss = float(np.sum([np.asarray(l) for l in losses]))
+        test_loss /= len(test_loader.dataset)
+        print(f"Test loss: {test_loss:.4f}")
+        return test_loss
+
+    def train_loop(self, loaders, epochs=100, test_freq=2, save_freq=10,
+                   save_dir: str = ""):
+        print("=" * 40)
+        print("Training: epochs", self.epoch, "to", self.epoch + epochs - 1)
+        print("Training set:", len(loaders["Shuffled_train"].dataset))
+        print("Test set:", len(loaders["test"].dataset))
+        print("=" * 40)
+        for epoch in range(self.epoch, self.epoch + epochs):
+            loss = self.train_epoch(loaders["Shuffled_train"])
+            self.loss["train"][epoch] = loss
+            if self.writer is not None:
+                self.writer.add_scalar("Loss/Train", loss, self.epoch)
+                gp_np = jax.tree_util.tree_map(np.asarray, self.params["gp"])
+                xu_np = np.asarray(self.consts["xu"])
+                tb.log_qu_plots(self.epoch, gp_np, xu_np, self.writer, "train")
+                tb.log_qkappa_plots(gp_np, self.writer, "train")
+                self.writer.flush()
+            if test_freq is not None and epoch % test_freq == 0:
+                self.loss["test"][epoch] = self.test_epoch(loaders["test"])
+            if save_freq is not None and epoch % save_freq == 0 and epoch > 0:
+                self.save_state(
+                    os.path.join(save_dir or self.save_dir,
+                                 checkpoint_filename(epoch))
+                )
+        if self.writer is not None:
+            self.writer.flush()
+
+    # -------------------------------------------------------- observability
+    def _log_batch_figures(self, covs, x, aux, log_type):
+        """Per-batch beta + map figures (reference logs these EVERY batch)."""
+        _, aux_maps = self._maps_step(self.params, self._next_key(), covs, x)
+        maps = jax.tree_util.tree_map(np.asarray, aux_maps["maps"])
+        b = maps["base"].shape[0]
+        for slc in (12, 15, 18):
+            tb.log_map(self.writer, self.config.img_shape, maps["base"], slc,
+                       "base_map", b, log_type)
+            tb.log_map(self.writer, self.config.img_shape, maps["task"], slc,
+                       "task_map", b, log_type)
+            tb.log_map(self.writer, self.config.img_shape, maps["full_rec"],
+                       slc, "full_reconstruction", b, log_type)
+        beta_mean = np.asarray(aux["beta_mean"])
+        beta_var = np.asarray(aux["beta_cov_diag"])
+        covs_np = np.asarray(covs)
+        for j, name in enumerate(COVARIATE_KEYS):
+            tb.log_beta(self.writer, covs_np[:, j], beta_mean[j], beta_var[j],
+                        name, log_type)
+
+    def check_gp_stability(self, covariates=None) -> bool:
+        """Dump qu_S diagnostics if any GP posterior cov went non-PSD.
+
+        Mirrors the reference's qu_S_diagnostics.tar dump (gp.py:47-63).
+        Returns True if healthy.
+        """
+        gp_np = jax.tree_util.tree_map(np.asarray, self.params["gp"])
+        healthy = True
+        for j in range(gp_np["qu_S"].shape[0]):
+            try:
+                np.linalg.cholesky(
+                    gp_np["qu_S"][j].astype(np.float64)
+                )
+            except np.linalg.LinAlgError:
+                healthy = False
+                print("Oops, something went wrong with qu_S!!")
+                fname = os.path.join(self.save_dir, "qu_S_diagnostics.tar")
+                diag = {
+                    "qu_m": gp_np["qu_m"][j],
+                    "qu_S": gp_np["qu_S"][j],
+                    "ls": gp_np["log_ls"][j],
+                    "k_var": gp_np["logkvar"][j],
+                    "Xu": np.asarray(self.consts["xu"])[j],
+                    "cov_id": j + 1,
+                    "batch_vals": covariates,
+                }
+                with open(fname, "wb") as f:
+                    pickle.dump(diag, f)
+        return healthy
+
+    # ---------------------------------------------------------- checkpoints
+    def save_state(self, filename: str):
+        save_checkpoint(
+            filename,
+            self.params,
+            self.opt_state,
+            epoch=self.epoch,
+            loss=self.loss,
+            z_dim=self.config.z_dim,
+            lr=self.lr,
+            save_dir=self.save_dir,
+            glm_reg_scale=self.config.glm_reg_scale,
+            gp_kl_scale=self.config.gp_kl_scale,
+            inducing_pts=self.config.num_inducing_pts,
+            consts=self.consts,
+        )
+
+    def load_state(self, filename: str):
+        state = load_checkpoint(filename, expect_z_dim=self.config.z_dim)
+        as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+        self.params = as_jnp(state["params"])
+        # restore optimizer state with the correct pytree structure
+        ref_state = self.tx.init(self.params)
+        flat, _ = jax.tree_util.tree_flatten(state["optimizer_state"])
+        _, treedef = jax.tree_util.tree_flatten(ref_state)
+        self.opt_state = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(l) for l in flat]
+        )
+        self.loss = state["loss"]
+        self.epoch = state["epoch"]
+        if state.get("consts") is not None:
+            self.consts = as_jnp(state["consts"])
+        if self._replicated is not None:
+            self.params = jax.device_put(self.params, self._replicated)
+            self.opt_state = jax.device_put(self.opt_state, self._replicated)
+            self.consts = jax.device_put(self.consts, self._replicated)
+        # consts may have changed => rebuild the jitted closures
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step(return_maps=False)
+        self._maps_step = self._build_eval_step(return_maps=True)
