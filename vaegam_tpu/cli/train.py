@@ -77,6 +77,8 @@ def build_parser():
                         help="Conv feature multiplier (reference default 8; exposed for small-scale runs).")
     parser.add_argument("--num_latents", type=int, metavar="N", default=32,
                         help="VAE latent dimension (reference default 32).")
+    parser.add_argument("--profile_dir", type=str, metavar="N", default="",
+                        help="If set, capture a jax.profiler trace of the first training epochs into this directory.")
     return parser
 
 
@@ -126,6 +128,11 @@ def main(argv=None):
         print(f"Loading model state from: {args.ckpt_path}")
         trainer.load_state(args.ckpt_path)
 
+    if args.profile_dir:
+        import jax
+
+        jax.profiler.start_trace(args.profile_dir)
+
     if not args.recons_only:
         trainer.train_loop(
             loaders_dict, epochs=args.epochs, test_freq=args.test_freq,
@@ -149,6 +156,11 @@ def main(argv=None):
                           args.train_csv, args.save_dir)
         mk_avg_maps(args.train_csv, trainer, args.save_dir,
                     mk_motion_maps=True)
+    if args.profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
+
     main_end = time.time()
     print(f"Total model runtime (seconds): {main_end - main_start}")
 

@@ -132,8 +132,10 @@ class Trainer:
     # --------------------------------------------------------------- epochs
     def train_epoch(self, train_loader) -> float:
         losses = []
+        last_covs = None
         for batch_idx, sample in enumerate(train_loader):
             covs, x = self._put_batch(sample)
+            last_covs = sample["covariates"]
             self.params, self.opt_state, loss, aux = self._train_step(
                 self.params, self.opt_state, self._next_key(), covs, x
             )
@@ -145,6 +147,10 @@ class Trainer:
             ):
                 self._log_batch_figures(covs, x, aux, "train")
         train_loss = float(np.sum([np.asarray(l) for l in losses]))
+        if not np.isfinite(train_loss):
+            # failure detection (reference gp.py:47-63): a non-PSD qu_S turns
+            # the loss NaN through the KL Cholesky — dump diagnostics
+            self.check_gp_stability(last_covs)
         train_loss /= len(train_loader.dataset)
         print(f"Epoch: {self.epoch} Average loss: {train_loss:.4f}")
         self.epoch += 1
