@@ -70,29 +70,44 @@ def _bn_init(ch, dtype):
 # layer applies
 # ---------------------------------------------------------------------------
 
-def _conv(x, p, stride):
+def _conv(x, p, stride, conv_dtype=None):
+    w = p["w"]
+    out_dtype = x.dtype
+    if conv_dtype is not None:
+        x, w = x.astype(conv_dtype), w.astype(conv_dtype)
     y = jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=(stride,) * 3, padding="VALID",
+        x, w, window_strides=(stride,) * 3, padding="VALID",
         dimension_numbers=_DN,
     )
-    return y + p["b"]
+    return y.astype(out_dtype) + p["b"]
 
 
-def _conv_t(x, p, stride, pad, outpad, ksize):
-    """Transposed conv as a fractionally-strided VALID conv.
+def _conv_t(x, p, stride, pad, outpad, ksize, conv_dtype=None):
+    """Transposed conv; output per dim (i-1)*s + k - 2p + op (torch-equal).
 
-    Output size per dim: (i-1)*s + k - 2p + op, identical to torch's
-    ConvTranspose3d.  (Kernel is not spatially flipped — irrelevant for
-    freshly-initialized weights; documented for weight-porting.)
+    stride 1 lowers to a plain VALID conv with full padding; stride 2 uses
+    the polyphase decomposition (ops/convt.py) — dense stride-1 convs on
+    decimated kernels instead of a conv over a 2x-dilated input, ~8x fewer
+    MACs on the MXU.  (Kernel is not spatially flipped; torch-weight porting
+    flips it in utils/torch_port.py.)
     """
+    # NOTE on the stride-2 path: both polyphase decompositions in ops/convt.py
+    # (8 class convs, and one fused 8x-channel conv) were benchmarked SLOWER
+    # than XLA's native lhs_dilation lowering on v5e (9.6ms vs 13.5/17.2ms
+    # for the 9B-batch decode) — XLA already strength-reduces dilated convs
+    # well here, so the dilated formulation is the fast path.
     padding = tuple(
         (k - 1 - p_, k - 1 - p_ + op) for k, p_, op in zip(ksize, pad, outpad)
     )
+    w = p["w"]
+    out_dtype = x.dtype
+    if conv_dtype is not None:
+        x, w = x.astype(conv_dtype), w.astype(conv_dtype)
     y = jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=(1, 1, 1), padding=padding,
+        x, w, window_strides=(1, 1, 1), padding=padding,
         lhs_dilation=(stride,) * 3, dimension_numbers=_DN,
     )
-    return y + p["b"]
+    return y.astype(out_dtype) + p["b"]
 
 
 def _batch_stat_norm(x, p):
@@ -143,17 +158,20 @@ def init_encoder(key, nf: int, num_latents: int, dtype=jnp.float32):
     }
 
 
-def encode(params, x, nf: int):
+def encode(params, x, nf: int, conv_dtype=None):
     """x: (B, 41, 49, 35) -> (mu, u, d), each (B, num_latents).
 
     u is the rank-1 covariance factor, d the (positive) diagonal.
+    conv_dtype (e.g. bfloat16) selects the conv compute precision; norms,
+    heads and accumulation stay float32.
     """
+    cd = conv_dtype
     h = x[..., None]  # NDHWC with C=1
-    h = _relu(_conv(_batch_stat_norm(h, params["bn1"]), params["conv1"], 1))
-    h = _relu(_conv(h, params["conv2"], 2))
-    h = _relu(_conv(_batch_stat_norm(h, params["bn3"]), params["conv3"], 1))
-    h = _relu(_conv(h, params["conv4"], 2))
-    h = _relu(_conv(_batch_stat_norm(h, params["bn5"]), params["conv5"], 1))
+    h = _relu(_conv(_batch_stat_norm(h, params["bn1"]), params["conv1"], 1, cd))
+    h = _relu(_conv(h, params["conv2"], 2, cd))
+    h = _relu(_conv(_batch_stat_norm(h, params["bn3"]), params["conv3"], 1, cd))
+    h = _relu(_conv(h, params["conv4"], 2, cd))
+    h = _relu(_conv(_batch_stat_norm(h, params["bn5"]), params["conv5"], 1, cd))
     h = h.reshape(h.shape[0], -1)  # (B, 2nf*6*8*4) channel-last flatten
     h = _relu(_linear(h, params["fc1"]))
     h = _relu(_linear(h, params["fc2"]))
@@ -187,20 +205,23 @@ def init_decoder(key, nf: int, z_dim: int, dtype=jnp.float32):
     }
 
 
-def decode(params, z, nf: int):
+def decode(params, z, nf: int, conv_dtype=None):
     """z: (B*, z_dim) -> sigmoid volume flattened to (B*, 70315)."""
+    cd = conv_dtype
     h = _relu(_linear(z, params["fc5"]))
     h = _relu(_linear(h, params["fc6"]))
     h = _relu(_linear(h, params["fc7"]))
     h = _relu(_linear(h, params["fc8"]))
     h = h.reshape(-1, 6, 8, 5, 2 * nf)
     h = _relu(_conv_t(_batch_stat_norm(h, params["bnt1"]), params["convt1"],
-                      1, (0, 0, 0), (0, 0, 0), (3, 3, 3)))
-    h = _relu(_conv_t(h, params["convt2"], 2, (1, 0, 1), (1, 0, 1), (3, 3, 3)))
+                      1, (0, 0, 0), (0, 0, 0), (3, 3, 3), cd))
+    h = _relu(_conv_t(h, params["convt2"], 2, (1, 0, 1), (1, 0, 1),
+                      (3, 3, 3), cd))
     h = _relu(_conv_t(_batch_stat_norm(h, params["bnt3"]), params["convt3"],
-                      1, (0, 0, 0), (0, 0, 0), (3, 3, 3)))
-    h = _relu(_conv_t(h, params["convt4"], 2, (0, 0, 0), (0, 0, 0), (5, 3, 3)))
+                      1, (0, 0, 0), (0, 0, 0), (3, 3, 3), cd))
+    h = _relu(_conv_t(h, params["convt4"], 2, (0, 0, 0), (0, 0, 0),
+                      (5, 3, 3), cd))
     h = _conv_t(_batch_stat_norm(h, params["bnt5"]), params["convt5"],
-                1, (0, 0, 0), (0, 0, 0), (3, 3, 3))
+                1, (0, 0, 0), (0, 0, 0), (3, 3, 3), cd)
     h = jax.nn.sigmoid(h)
     return h.reshape(h.shape[0], -1)  # (B*, 41*49*35)

@@ -78,6 +78,9 @@ class VAEGAMConfig:
     # precision policy: fp32 on TPU (the reference keeps epsilon in fp64 on
     # CUDA; we document fp32 as the TPU-native choice — see SURVEY.md §7)
     dtype: Any = jnp.float32
+    # conv compute precision: None = float32 (parity path); jnp.bfloat16
+    # trades ~1e-3-level output deltas for speed on the memory-bound convs
+    conv_dtype: Any = None
 
     @property
     def z_dim(self) -> int:
@@ -187,7 +190,7 @@ def forward(
     k_z, k_beta = jax.random.split(key)
 
     # --- encoder & latent sample ------------------------------------------
-    mu, u, d = encode(params["enc"], x, config.nf)
+    mu, u, d = encode(params["enc"], x, config.nf, config.conv_dtype)
     # global d-floor: if ANY element is tiny, shift the WHOLE tensor
     # (vae_reg_GP.py:321-323 — intentional parity with the reference)
     d = jnp.where(jnp.any(d < 1e-6), d + 1e-6, d)
@@ -203,7 +206,7 @@ def forward(
     zcat = jnp.concatenate([zb, ohb], axis=-1).reshape(
         (n_cov + 1) * b, config.z_dim
     )
-    decoded = decode(params["dec"], zcat, config.nf).reshape(
+    decoded = decode(params["dec"], zcat, config.nf, config.conv_dtype).reshape(
         n_cov + 1, b, config.img_dim
     )
     base, diffs = decoded[0], decoded[1:]                         # (B,D), (C,B,D)
@@ -241,16 +244,22 @@ def forward(
         gains = jnp.concatenate([neural, gains[config.num_neural:]], axis=0)
 
     # --- compose reconstruction -------------------------------------------
-    cons = gains[:, :, None] * diffs                              # (C, B, D)
-    x_rec = base + jnp.sum(cons, axis=0)
+    # einsum reduction instead of materializing cons = gains * diffs
+    # (a (C, B, 70315) temp would cost ~3 full HBM passes here + in backward)
+    x_rec = base + jnp.einsum("cb,cbd->bd", gains, diffs)
 
     # --- GLM regularizer ----------------------------------------------------
     if consts["glm_maps"] is not None:
         # reference: sum(cdist(cons_c, tile(glm_map_c, B)))  ==
         #            B * sum_b ||cons_c[b] - glm_map_c||_2  (vae_reg_GP.py:388)
+        # expanded: ||g*diff - glm||^2 = g^2*<diff,diff> - 2g*<diff,glm>
+        #           + <glm,glm>  — reads diffs once, no (C,B,D) temp
         glm = consts["glm_maps"][:, 1 : n_cov + 1].T              # (C, D)
-        sq = jnp.sum((cons - glm[:, None, :]) ** 2, axis=-1)      # (C, B)
-        glm_reg = b * jnp.sum(jnp.sqrt(sq))
+        d2 = jnp.sum(diffs * diffs, axis=-1)                      # (C, B)
+        dg = jnp.einsum("cbd,cd->cb", diffs, glm)                 # (C, B)
+        g2 = jnp.sum(glm * glm, axis=-1)                          # (C,)
+        sq = gains**2 * d2 - 2.0 * gains * dg + g2[:, None]
+        glm_reg = b * jnp.sum(jnp.sqrt(jnp.maximum(sq, 0.0)))
     else:
         glm_reg = jnp.asarray(0.0, x.dtype)
 
@@ -274,6 +283,7 @@ def forward(
     }
     if return_maps:
         aux["z"] = z
+        cons = gains[:, :, None] * diffs                          # (C, B, D)
         maps = {"base": base, "full_rec": x_rec}
         for j, mkey in enumerate(MAP_KEYS[1:-1]):                 # task..sex
             maps[mkey] = cons[j]
