@@ -17,7 +17,8 @@ IMG_SHAPE = (41, 49, 35)
 TR = 1.4
 
 
-def make_subject_tree(root, n_subjs=2, n_vols=8, seed=0, intensity=200.0):
+def make_subject_tree(root, n_subjs=2, n_vols=8, seed=0, intensity=200.0,
+                      img_shape=IMG_SHAPE):
     """Write sub-A000NN dirs with 4D NIfTI + fmriprep-style motion TSV + sex csv.
 
     A synthetic octahedral control signal modulated by the control stimulus
@@ -27,8 +28,9 @@ def make_subject_tree(root, n_subjs=2, n_vols=8, seed=0, intensity=200.0):
     rng = np.random.default_rng(seed)
     vol_times = np.arange(1, n_vols + 1) * TR
     neural = control_stimulus_to_neural(vol_times)
-    signal = np.zeros(IMG_SHAPE)
-    signal[18:23, 36:41, 15:20] = intensity
+    signal = np.zeros(img_shape)
+    cx, cy, cz = (s // 2 for s in img_shape)
+    signal[cx - 2 : cx + 3, cy - 2 : cy + 3, cz - 2 : cz + 3] = intensity
 
     subj_ids = []
     for s in range(n_subjs):
@@ -36,9 +38,9 @@ def make_subject_tree(root, n_subjs=2, n_vols=8, seed=0, intensity=200.0):
         subj_ids.append(subj)
         sdir = os.path.join(root, subj)
         os.makedirs(sdir, exist_ok=True)
-        base = rng.uniform(100, 3000, size=IMG_SHAPE).astype(np.float32)
+        base = rng.uniform(100, 3000, size=img_shape).astype(np.float32)
         vols = np.stack(
-            [base + rng.normal(0, 20, IMG_SHAPE) + signal * neural[t]
+            [base + rng.normal(0, 20, img_shape) + signal * neural[t]
              for t in range(n_vols)],
             axis=-1,
         ).astype(np.float32)

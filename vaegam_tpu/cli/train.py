@@ -79,6 +79,9 @@ def build_parser():
                         help="VAE latent dimension (reference default 32).")
     parser.add_argument("--profile_dir", type=str, metavar="N", default="",
                         help="If set, capture a jax.profiler trace of the first training epochs into this directory.")
+    parser.add_argument("--img_shape", type=int, metavar="N", nargs=3,
+                        default=[41, 49, 35],
+                        help="Volume grid (x y z). Default is the reference's 41 49 35; e.g. 91 109 91 for MNI-grid volumes.")
     return parser
 
 
@@ -99,6 +102,7 @@ def main(argv=None):
     config = VAEGAMConfig(
         nf=args.nf,
         num_latents=args.num_latents,
+        img_shape=tuple(args.img_shape),
         num_inducing_pts=args.num_inducing_pts,
         gp_kl_scale=args.gp_kl_scale,
         glm_reg_scale=args.glm_reg_scale,

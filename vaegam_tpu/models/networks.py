@@ -34,6 +34,46 @@ import jax.numpy as jnp
 _DN = ("NDHWC", "DHWIO", "NDHWC")
 _BN_EPS = 1e-5
 
+REFERENCE_IMG_SHAPE = (41, 49, 35)
+
+
+def encoder_out_shape(img_shape) -> tuple:
+    """Spatial shape after the 5-conv encoder chain (k3: s1,s2,s1,s2,s1).
+
+    (41,49,35) -> (6,8,4), matching the reference's hardcoded flatten
+    (vae_reg_GP.py:197,243).  Generalizes to other volume grids (e.g. the
+    MNI 91x109x91 grid of BASELINE configs[4]).
+    """
+    out = []
+    for i in img_shape:
+        a = i - 2
+        a = (a - 3) // 2 + 1
+        a = a - 2
+        a = (a - 3) // 2 + 1
+        a = a - 2
+        assert a >= 1, f"img_shape axis {i} too small for the conv chain"
+        out.append(a)
+    return tuple(out)
+
+
+def decoder_seed_shape(img_shape) -> tuple:
+    """(seed_shape, crop) for the 5-convt decoder chain.
+
+    Per-axis output formulas of the reference chain: D,H -> 4s+17, W -> 4s+15
+    (the D/H/W convt2/convt4 padding patterns are part of the architecture).
+    seed is the smallest integer reaching >= target; any surplus is cropped
+    from the tail of the final output.  At (41,49,35) this is exactly the
+    reference's (6,8,5) seed with zero crop (vae_reg_GP.py:210,259).
+    """
+    offsets = (17, 17, 15)
+    seed, crop = [], []
+    for i, c in zip(img_shape, offsets):
+        s = -(-(i - c) // 4)  # ceil
+        assert s >= 1, f"img_shape axis {i} too small for the decoder chain"
+        seed.append(s)
+        crop.append(4 * s + c - i)
+    return tuple(seed), tuple(crop)
+
 
 # ---------------------------------------------------------------------------
 # init helpers (torch-default uniform bounds)
@@ -135,9 +175,11 @@ def _relu(x):
 # encoder
 # ---------------------------------------------------------------------------
 
-def init_encoder(key, nf: int, num_latents: int, dtype=jnp.float32):
+def init_encoder(key, nf: int, num_latents: int, dtype=jnp.float32,
+                 img_shape=REFERENCE_IMG_SHAPE):
     ks = jax.random.split(key, 13)
-    flat = 2 * nf * 6 * 8 * 4
+    eo = encoder_out_shape(img_shape)
+    flat = 2 * nf * eo[0] * eo[1] * eo[2]
     return {
         "conv1": _conv_init(ks[0], (3, 3, 3, 1, nf), dtype, 1 * 27),
         "conv2": _conv_init(ks[1], (3, 3, 3, nf, nf), dtype, nf * 27),
@@ -185,9 +227,11 @@ def encode(params, x, nf: int, conv_dtype=None):
 # decoder
 # ---------------------------------------------------------------------------
 
-def init_decoder(key, nf: int, z_dim: int, dtype=jnp.float32):
+def init_decoder(key, nf: int, z_dim: int, dtype=jnp.float32,
+                 img_shape=REFERENCE_IMG_SHAPE):
     ks = jax.random.split(key, 9)
-    seed_flat = 2 * nf * 6 * 8 * 5
+    seed, _ = decoder_seed_shape(img_shape)
+    seed_flat = 2 * nf * seed[0] * seed[1] * seed[2]
     # ConvTranspose3d fan_in in torch is out_ch * prod(kernel)
     return {
         "fc5": _linear_init(ks[0], z_dim, 50, dtype),
@@ -205,14 +249,16 @@ def init_decoder(key, nf: int, z_dim: int, dtype=jnp.float32):
     }
 
 
-def decode(params, z, nf: int, conv_dtype=None):
-    """z: (B*, z_dim) -> sigmoid volume flattened to (B*, 70315)."""
+def decode(params, z, nf: int, conv_dtype=None,
+           img_shape=REFERENCE_IMG_SHAPE):
+    """z: (B*, z_dim) -> sigmoid volume flattened to (B*, prod(img_shape))."""
     cd = conv_dtype
+    seed, crop = decoder_seed_shape(img_shape)
     h = _relu(_linear(z, params["fc5"]))
     h = _relu(_linear(h, params["fc6"]))
     h = _relu(_linear(h, params["fc7"]))
     h = _relu(_linear(h, params["fc8"]))
-    h = h.reshape(-1, 6, 8, 5, 2 * nf)
+    h = h.reshape(-1, *seed, 2 * nf)
     h = _relu(_conv_t(_batch_stat_norm(h, params["bnt1"]), params["convt1"],
                       1, (0, 0, 0), (0, 0, 0), (3, 3, 3), cd))
     h = _relu(_conv_t(h, params["convt2"], 2, (1, 0, 1), (1, 0, 1),
@@ -223,5 +269,8 @@ def decode(params, z, nf: int, conv_dtype=None):
                       (5, 3, 3), cd))
     h = _conv_t(_batch_stat_norm(h, params["bnt5"]), params["convt5"],
                 1, (0, 0, 0), (0, 0, 0), (3, 3, 3), cd)
+    if any(crop):
+        h = h[:, : h.shape[1] - crop[0], : h.shape[2] - crop[1],
+              : h.shape[3] - crop[2], :]
     h = jax.nn.sigmoid(h)
-    return h.reshape(h.shape[0], -1)  # (B*, 41*49*35)
+    return h.reshape(h.shape[0], -1)  # (B*, prod(img_shape))

@@ -127,8 +127,10 @@ def init_model(
     n_mot = 6
 
     params = {
-        "enc": init_encoder(k_enc, config.nf, config.num_latents, dt),
-        "dec": init_decoder(k_dec, config.nf, config.z_dim, dt),
+        "enc": init_encoder(k_enc, config.nf, config.num_latents, dt,
+                            config.img_shape),
+        "dec": init_decoder(k_dec, config.nf, config.z_dim, dt,
+                            config.img_shape),
         "epsilon": jnp.full(config.img_shape, -np.log(10.0), dt),
         "gp": {
             # linear gain for ALL covariates: sa ~ N(1,1), logstd ~ N(0,1)
@@ -206,9 +208,9 @@ def forward(
     zcat = jnp.concatenate([zb, ohb], axis=-1).reshape(
         (n_cov + 1) * b, config.z_dim
     )
-    decoded = decode(params["dec"], zcat, config.nf, config.conv_dtype).reshape(
-        n_cov + 1, b, config.img_dim
-    )
+    decoded = decode(
+        params["dec"], zcat, config.nf, config.conv_dtype, config.img_shape
+    ).reshape(n_cov + 1, b, config.img_dim)
     base, diffs = decoded[0], decoded[1:]                         # (B,D), (C,B,D)
 
     # --- gain (beta) distributions per covariate ---------------------------

@@ -30,7 +30,6 @@ import jax
 from ..models.vaegam import MAP_KEYS
 from ..utils import nifti
 
-IMG_SHAPE = (41, 49, 35)
 
 
 def reconstruct(trainer, loader, ref_niis: List[str], save_dirs: List[str]):
@@ -40,6 +39,7 @@ def reconstruct(trainer, loader, ref_niis: List[str], save_dirs: List[str]):
     save_dirs are indexed by the subject index found in each sample.
     Returns {subj_idx: {key: running-sum map}} plus counts for averaging.
     """
+    img_shape = tuple(trainer.config.img_shape)
     ref_imgs = {}
     sums: Dict[int, Dict[str, np.ndarray]] = {}
     counts: Dict[int, int] = {}
@@ -56,11 +56,11 @@ def reconstruct(trainer, loader, ref_niis: List[str], save_dirs: List[str]):
                 ref_imgs[subj_idx] = nifti.load(ref_niis[subj_idx])
             ref = ref_imgs[subj_idx]
             acc = sums.setdefault(
-                subj_idx, {k: np.zeros(IMG_SHAPE, np.float64) for k in MAP_KEYS}
+                subj_idx, {k: np.zeros(img_shape, np.float64) for k in MAP_KEYS}
             )
             counts[subj_idx] = counts.get(subj_idx, 0) + 1
             for key in MAP_KEYS:
-                recon = maps[key][i].reshape(IMG_SHAPE).astype(np.float32)
+                recon = maps[key][i].reshape(img_shape).astype(np.float32)
                 acc[key] += recon
                 nifti.save(
                     nifti.Nifti1Image(recon, ref.affine, ref.header),
@@ -93,6 +93,7 @@ def mk_avg_maps(csv_file: str, trainer, save_dir: str,
     (build_model_recons.py:86-92) so the output is a pure function of what
     is on disk.
     """
+    img_shape = tuple(trainer.config.img_shape)
     ckpt_num = str(trainer.epoch).zfill(3)
     sngl_vols_dir = os.path.join(
         save_dir, "reconstructions", f"{ckpt_num}_model_recons"
@@ -111,13 +112,13 @@ def mk_avg_maps(csv_file: str, trainer, save_dir: str,
     if not mk_motion_maps:
         maps = [maps[i] for i in (0, 1, 2, 9)]
     for key in maps:
-        gd_avg = np.zeros(IMG_SHAPE, np.float64)
+        gd_avg = np.zeros(img_shape, np.float64)
         for s, subj in enumerate(subjs):
             subj_dir = os.path.join(sngl_vols_dir, subj)
             vol_dirs = os.listdir(subj_dir)
             subj_avg_dir = os.path.join(avg_vols_dir, subj)
             os.makedirs(subj_avg_dir, exist_ok=True)
-            subj_map = np.zeros(IMG_SHAPE, np.float64)
+            subj_map = np.zeros(img_shape, np.float64)
             for vd in vol_dirs:
                 vol = np.asarray(
                     nifti.load(
