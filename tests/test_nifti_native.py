@@ -1,0 +1,91 @@
+"""Native C++ NIfTI decoder vs the pure-numpy codec."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from vaegam_tpu.utils import nifti, nifti_native
+
+NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def build_native():
+    if not nifti_native.available():
+        subprocess.run(["make", "-C", NATIVE_DIR], check=False)
+    if not nifti_native.available():
+        pytest.skip("native library not built and build failed")
+
+
+@pytest.mark.parametrize("gz", [False, True])
+@pytest.mark.parametrize("dtype", [np.float32, np.float64, np.int16, np.uint8])
+def test_native_matches_python_codec(tmp_path, gz, dtype):
+    rng = np.random.default_rng(0)
+    if np.issubdtype(dtype, np.integer):
+        data = rng.integers(0, 100, size=(7, 6, 5, 3)).astype(dtype)
+    else:
+        data = rng.normal(size=(7, 6, 5, 3)).astype(dtype)
+    path = str(tmp_path / ("a.nii.gz" if gz else "a.nii"))
+    nifti.save(nifti.Nifti1Image(data, np.eye(4)), path)
+    got = nifti_native.decode_f32(path)
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got, data.astype(np.float32), rtol=1e-6)
+
+
+def test_native_scl_slope_inter(tmp_path):
+    raw = np.arange(60, dtype=np.int16).reshape(5, 4, 3)
+    path = str(tmp_path / "s.nii")
+    nifti.save(nifti.Nifti1Image(raw, np.eye(4)), path)
+    blob = bytearray(open(path, "rb").read())
+    blob[112:116] = np.float32(0.5).tobytes()
+    blob[116:120] = np.float32(3.0).tobytes()
+    open(path, "wb").write(bytes(blob))
+    got = nifti_native.decode_f32(path)
+    np.testing.assert_allclose(got, raw * 0.5 + 3.0, rtol=1e-6)
+
+
+def test_decode_many_parallel(tmp_path):
+    rng = np.random.default_rng(1)
+    paths, datas = [], []
+    for i in range(5):
+        d = rng.normal(size=(6, 5, 4)).astype(np.float32)
+        p = str(tmp_path / f"m{i}.nii.gz")
+        nifti.save(nifti.Nifti1Image(d, np.eye(4)), p)
+        paths.append(p)
+        datas.append(d)
+    outs = nifti_native.decode_many_f32(paths, n_threads=3)
+    for got, want in zip(outs, datas):
+        np.testing.assert_array_equal(got, want)
+
+
+def test_native_error_codes(tmp_path):
+    with pytest.raises(ValueError):
+        nifti_native.decode_f32(str(tmp_path / "missing.nii"))
+    bad = tmp_path / "bad.nii"
+    bad.write_bytes(b"\x00" * 400)
+    with pytest.raises(ValueError):
+        nifti_native.decode_f32(str(bad))
+
+
+def test_dataset_uses_native_path(tmp_path):
+    """The loader's volume cache must produce identical batches either way."""
+    import pandas as pd
+
+    from vaegam_tpu.data import FMRIDataset
+
+    rng = np.random.default_rng(2)
+    vols = rng.uniform(0, 3000, size=(41, 49, 35, 4)).astype(np.float32)
+    nii = str(tmp_path / "v.nii.gz")
+    nifti.save(nifti.Nifti1Image(vols, np.eye(4)), nii)
+    rows = [("s1", v, nii, 1, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0) for v in range(4)]
+    df = pd.DataFrame(rows, columns=["subjid", "volume #", "nii_path", "task",
+                                     "x", "y", "z", "rot_x", "rot_y", "rot_z",
+                                     "sex"])
+    csv = str(tmp_path / "d.csv")
+    df.to_csv(csv)
+    ds = FMRIDataset(csv)
+    item = ds[2]
+    np.testing.assert_allclose(item["volume"], vols[:, :, :, 2] / 3284.5,
+                               rtol=1e-6)

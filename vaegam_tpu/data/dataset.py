@@ -46,7 +46,9 @@ class _VolumeCache:
     def get(self, path: str) -> np.ndarray:
         arr = self._cache.get(path)
         if arr is None:
-            arr = np.asarray(nifti.load(path).dataobj, dtype=np.float32)
+            from ..utils import nifti_native
+
+            arr = nifti_native.decode_f32(path)  # native C++ path w/ fallback
             self._cache[path] = arr
             if len(self._cache) > self.max_items:
                 self._cache.popitem(last=False)

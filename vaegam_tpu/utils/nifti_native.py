@@ -1,0 +1,119 @@
+"""ctypes binding to the native NIfTI decoder (native/libvaegam_io.so).
+
+Provides decode_f32(path) -> float32 ndarray (Fortran voxel order reshaped
+to the header dims) and decode_many_f32(paths) for thread-pooled parallel
+ingestion.  Falls back transparently to the pure-numpy codec
+(vaegam_tpu.utils.nifti) when the shared library is not built — build it
+with ``make -C native``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional
+
+import numpy as np
+
+_LIB_PATHS = [
+    os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                 "libvaegam_io.so"),
+    "libvaegam_io.so",
+]
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _load_lib() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    for p in _LIB_PATHS:
+        try:
+            lib = ctypes.CDLL(os.path.abspath(p) if os.path.sep in p else p)
+        except OSError:
+            continue
+        lib.vaegam_nifti_decode_f32.restype = ctypes.c_int
+        lib.vaegam_nifti_decode_f32.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.vaegam_nifti_decode_many_f32.restype = None
+        lib.vaegam_nifti_decode_many_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        _lib = lib
+        return lib
+    return None
+
+
+def available() -> bool:
+    return _load_lib() is not None
+
+
+def _probe_dims(lib, path: str) -> tuple:
+    dims = (ctypes.c_int64 * 8)()
+    rc = lib.vaegam_nifti_decode_f32(
+        path.encode(), None, 0, dims
+    )
+    if rc != 0:
+        raise ValueError(f"native nifti probe failed ({rc}): {path}")
+    ndim = dims[0]
+    return tuple(int(dims[1 + i]) for i in range(ndim))
+
+
+def decode_f32(path: str) -> np.ndarray:
+    """Decode one NIfTI (.nii/.nii.gz) to float32, shaped per its header."""
+    lib = _load_lib()
+    if lib is None:
+        from . import nifti
+
+        return np.asarray(nifti.load(path).dataobj, dtype=np.float32)
+    shape = _probe_dims(lib, path)
+    n = int(np.prod(shape))
+    buf = np.empty(n, dtype=np.float32)
+    rc = lib.vaegam_nifti_decode_f32(
+        path.encode(),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n,
+        None,
+    )
+    if rc != 0:
+        raise ValueError(f"native nifti decode failed ({rc}): {path}")
+    return buf.reshape(shape, order="F")
+
+
+def decode_many_f32(paths: List[str], n_threads: int = 0) -> List[np.ndarray]:
+    """Decode several files in parallel (native thread pool)."""
+    lib = _load_lib()
+    if lib is None:
+        return [decode_f32(p) for p in paths]
+    if n_threads <= 0:
+        n_threads = min(len(paths), os.cpu_count() or 1)
+    shapes = [_probe_dims(lib, p) for p in paths]
+    bufs = [np.empty(int(np.prod(s)), dtype=np.float32) for s in shapes]
+
+    n = len(paths)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    c_outs = (ctypes.POINTER(ctypes.c_float) * n)(
+        *[b.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for b in bufs]
+    )
+    c_elems = (ctypes.c_int64 * n)(*[b.size for b in bufs])
+    c_status = (ctypes.c_int * n)()
+    lib.vaegam_nifti_decode_many_f32(
+        c_paths, c_outs, c_elems, None, c_status, n, n_threads
+    )
+    out = []
+    for p, s, b, rc in zip(paths, shapes, bufs, c_status):
+        if rc != 0:
+            raise ValueError(f"native nifti decode failed ({rc}): {p}")
+        out.append(b.reshape(s, order="F"))
+    return out
