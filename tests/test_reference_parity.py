@@ -231,3 +231,36 @@ def test_observation_logprob_parity(ref_modules, ported):
         )
     )
     np.testing.assert_allclose(lp_j, lp_t, rtol=1e-5)
+
+
+def test_import_torch_checkpoint_roundtrip(ref_modules, tmp_path):
+    """reference save_state -> import CLI -> Trainer.load_state -> parity."""
+    _, _, _, model, _ = ref_modules
+    torch_ckpt = str(tmp_path / "checkpoint_000.tar")
+    model.save_state(torch_ckpt)
+    # save_state joins save_dir with the (already absolute) filename — the
+    # reference quirk (vae_reg_GP.py:470); recover the real path it wrote
+    real = os.path.join(model.save_dir, torch_ckpt.lstrip(os.sep))
+    if not os.path.exists(torch_ckpt):
+        torch_ckpt = real
+
+    from vaegam_tpu.cli.import_torch_ckpt import convert
+    out_ckpt = str(tmp_path / "converted.tar")
+    convert(torch_ckpt, out_ckpt, nf=model.nf)
+
+    from vaegam_tpu.models import VAEGAMConfig
+    from vaegam_tpu.train import Trainer
+    config = VAEGAMConfig()
+    trainer = Trainer(config, [[-2.0, 2.0]] * 6, glm_maps=None,
+                      save_dir=str(tmp_path), enable_tb=False)
+    trainer.load_state(out_ckpt)
+    assert trainer.epoch == model.epoch
+
+    from vaegam_tpu.models.networks import encode
+    import jax.numpy as jnp
+    rng = np.random.default_rng(9)
+    x = rng.uniform(0, 1, size=(2, 41, 49, 35)).astype(np.float32)
+    with torch.no_grad():
+        mu_t, _, _ = model.encode(torch.tensor(x))
+    mu_j, _, _ = encode(trainer.params["enc"], jnp.asarray(x), model.nf)
+    np.testing.assert_allclose(np.asarray(mu_j), mu_t.numpy(), atol=2e-5)

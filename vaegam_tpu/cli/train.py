@@ -82,6 +82,9 @@ def build_parser():
     parser.add_argument("--img_shape", type=int, metavar="N", nargs=3,
                         default=[41, 49, 35],
                         help="Volume grid (x y z). Default is the reference's 41 49 35; e.g. 91 109 91 for MNI-grid volumes.")
+    parser.add_argument("--multihost", type=str2bool, nargs="?", const=True,
+                        default=False,
+                        help="Initialize jax.distributed for multi-host training (implies --data_parallel; csv rows are sharded per process).")
     return parser
 
 
@@ -94,9 +97,19 @@ def main(argv=None):
         os.makedirs(args.save_dir)
 
     main_start = time.time()
+    shard_index, num_shards = 0, 1
+    if args.multihost:
+        import jax
+
+        from ..parallel import init_multihost
+
+        init_multihost()
+        shard_index, num_shards = jax.process_index(), jax.process_count()
+        args.data_parallel = True
     loaders_dict = setup_data_loaders(
         batch_size=args.batch_size, train_csv=args.train_csv,
         test_csv=args.test_csv, seed=args.seed,
+        shard_index=shard_index, num_shards=num_shards,
     )
 
     config = VAEGAMConfig(

@@ -39,6 +39,27 @@ def make_data_mesh(num_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devices), axis_names=("data",))
 
 
+def init_multihost(coordinator_address: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> None:
+    """Initialize jax.distributed for multi-host (multi-slice) training.
+
+    On TPU pods the arguments are discovered from the environment; pass them
+    explicitly elsewhere.  After this, jax.devices() spans all hosts and
+    make_data_mesh() builds the global mesh; per-host input sharding comes
+    from DataLoader(shard_index=jax.process_index(),
+    num_shards=jax.process_count()).
+    """
+    kwargs = {}
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis along 'data'."""
     return NamedSharding(mesh, P("data"))
