@@ -131,3 +131,32 @@ def test_glm_reg_closed_form_matches_cdist():
     ).item()
     got = B * float(np.sum(np.sqrt(np.sum((cons - glm[None]) ** 2, axis=1))))
     assert got == pytest.approx(expected, rel=1e-10)
+
+
+def test_qu_s_cholesky_parameterization():
+    """Opt-in PSD parameterization: init matches 2I, forward finite, and the
+    covariance stays PSD under arbitrary raw-parameter perturbations."""
+    from vaegam_tpu.models import init_model
+    from vaegam_tpu.models.vaegam import resolve_qu_S
+
+    config = VAEGAMConfig(nf=2, num_latents=8, qu_s_cholesky=True)
+    params, consts = init_model(jax.random.PRNGKey(0), config, XU_RANGES, None)
+    assert "qu_S_raw" in params["gp"] and "qu_S" not in params["gp"]
+    qu_S = np.asarray(resolve_qu_S(params["gp"]))
+    np.testing.assert_allclose(
+        qu_S, np.tile(2.0 * np.eye(config.num_inducing_pts), (6, 1, 1)),
+        rtol=1e-6,
+    )
+    # random raw params must still yield PSD covariances
+    rng = np.random.default_rng(0)
+    params["gp"]["qu_S_raw"] = jnp.asarray(
+        rng.normal(size=params["gp"]["qu_S_raw"].shape), jnp.float32
+    )
+    qu_S = np.asarray(resolve_qu_S(params["gp"]))
+    for c in range(6):
+        np.linalg.cholesky(qu_S[c].astype(np.float64) + 1e-9 * np.eye(qu_S.shape[-1]))
+    rngB = np.random.default_rng(1)
+    covs = jnp.asarray(rngB.normal(size=(4, 8)), jnp.float32)
+    x = jnp.asarray(rngB.uniform(0, 1, (4, *config.img_shape)), jnp.float32)
+    loss, _ = forward(params, consts, jax.random.PRNGKey(2), covs, x, config)
+    assert np.isfinite(float(loss))

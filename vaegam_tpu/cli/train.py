@@ -85,6 +85,9 @@ def build_parser():
     parser.add_argument("--multihost", type=str2bool, nargs="?", const=True,
                         default=False,
                         help="Initialize jax.distributed for multi-host training (implies --data_parallel; csv rows are sharded per process).")
+    parser.add_argument("--qu_s_cholesky", type=str2bool, nargs="?",
+                        const=True, default=False,
+                        help="Parameterize each GP posterior covariance as L L^T (always PSD) instead of the reference's raw matrix — fixes the reference's known qu_S instability at the cost of exact-behavior parity.")
     return parser
 
 
@@ -120,6 +123,7 @@ def main(argv=None):
         gp_kl_scale=args.gp_kl_scale,
         glm_reg_scale=args.glm_reg_scale,
         neural_covariates=args.neural_covariates,
+        qu_s_cholesky=args.qu_s_cholesky,
     )
     glm_maps = None
     if args.glm_maps:

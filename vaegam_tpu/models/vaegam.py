@@ -81,6 +81,12 @@ class VAEGAMConfig:
     # conv compute precision: None = float32 (parity path); jnp.bfloat16
     # trades ~1e-3-level output deltas for speed on the memory-bound convs
     conv_dtype: Any = None
+    # opt-in stabilization (SURVEY.md §7 hard-parts): parameterize the GP
+    # posterior covariance as qu_S = L L^T (raw lower-triangular factor,
+    # softplus-free exp diagonal) so Adam can never drive it non-PSD.  Off by
+    # default — the raw-matrix parameterization is the reference's observable
+    # behavior (incl. its instability + diagnostics dump).
+    qu_s_cholesky: bool = False
 
     @property
     def z_dim(self) -> int:
@@ -126,22 +132,31 @@ def init_model(
     n_cov, p = config.num_covariates, config.num_inducing_pts
     n_mot = 6
 
+    gp_bank = {
+        # linear gain for ALL covariates: sa ~ N(1,1), logstd ~ N(0,1)
+        "sa": 1.0 + jax.random.normal(k_sa, (n_cov,), dt),
+        "logstd": jax.random.normal(k_ls, (n_cov,), dt),
+        # sparse-GP bank for the 6 motion covariates
+        "qu_m": jax.random.normal(k_qm, (n_mot, p), dt),
+        "logkvar": jnp.zeros((n_mot,), dt),
+        "log_ls": jnp.zeros((n_mot,), dt),
+    }
+    if config.qu_s_cholesky:
+        # raw factor with exp-diagonal: L = tril(raw,-1) + diag(exp(diag));
+        # init L = sqrt(2) I so that L L^T = 2 I (the reference's init)
+        raw = jnp.tile(
+            jnp.diag(jnp.full((p,), 0.5 * np.log(2.0), dt)), (n_mot, 1, 1)
+        )
+        gp_bank["qu_S_raw"] = raw
+    else:
+        gp_bank["qu_S"] = jnp.tile(2.0 * jnp.eye(p, dtype=dt), (n_mot, 1, 1))
     params = {
         "enc": init_encoder(k_enc, config.nf, config.num_latents, dt,
                             config.img_shape),
         "dec": init_decoder(k_dec, config.nf, config.z_dim, dt,
                             config.img_shape),
         "epsilon": jnp.full(config.img_shape, -np.log(10.0), dt),
-        "gp": {
-            # linear gain for ALL covariates: sa ~ N(1,1), logstd ~ N(0,1)
-            "sa": 1.0 + jax.random.normal(k_sa, (n_cov,), dt),
-            "logstd": jax.random.normal(k_ls, (n_cov,), dt),
-            # sparse-GP bank for the 6 motion covariates
-            "qu_m": jax.random.normal(k_qm, (n_mot, p), dt),
-            "qu_S": jnp.tile(2.0 * jnp.eye(p, dtype=dt), (n_mot, 1, 1)),
-            "logkvar": jnp.zeros((n_mot,), dt),
-            "log_ls": jnp.zeros((n_mot,), dt),
-        },
+        "gp": gp_bank,
     }
     xu = jnp.stack(
         [jnp.linspace(lo, hi, p, dtype=dt) for lo, hi in xu_ranges]
@@ -159,6 +174,21 @@ def gp_transforms(gp_params, config: VAEGAMConfig):
     kvar = jnp.exp(gp_params["logkvar"]) + 0.1
     ls = config.max_ls * jax.nn.sigmoid(jnp.exp(gp_params["log_ls"]) + 0.5)
     return kvar, ls
+
+
+def resolve_qu_S(gp_params) -> jnp.ndarray:
+    """Materialize the GP posterior covariance stack (6, P, P).
+
+    Raw-matrix parameterization returns qu_S as-is (reference behavior);
+    under the opt-in Cholesky parameterization qu_S = L L^T with
+    L = tril(raw, -1) + diag(exp(diag(raw))) — PSD by construction.
+    """
+    if "qu_S" in gp_params:
+        return gp_params["qu_S"]
+    raw = gp_params["qu_S_raw"]
+    diag = jnp.exp(jnp.diagonal(raw, axis1=-2, axis2=-1))
+    chol = jnp.tril(raw, -1) + jax.vmap(jnp.diag)(diag)
+    return jnp.einsum("cij,ckj->cik", chol, chol)
 
 
 def _hrf_convolve(gains: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
@@ -225,12 +255,13 @@ def forward(
 
     # sparse GP for the 6 motion covariates, one vmap
     kvar, ls = gp_transforms(gp_p, config)
+    qu_S = resolve_qu_S(gp_p)
     f_bar, sigma = jax.vmap(gp_mod.evaluate_posterior)(
-        consts["xu"], kvar, ls, gp_p["qu_m"], gp_p["qu_S"], xq[MOTION_SLICE]
+        consts["xu"], kvar, ls, gp_p["qu_m"], qu_S, xq[MOTION_SLICE]
     )
     beta_mean = beta_mean.at[MOTION_SLICE].add(f_bar)
     beta_cov = beta_cov.at[MOTION_SLICE].add(sigma)
-    gp_kls = jax.vmap(gp_mod.gp_kl)(gp_p["qu_m"], gp_p["qu_S"])   # (6,)
+    gp_kls = jax.vmap(gp_mod.gp_kl)(gp_p["qu_m"], qu_S)           # (6,)
     gp_kl_loss = lin_kl + jnp.sum(gp_kls)
 
     # batch-coupled gain sample: one batched Cholesky over (C, B, B)

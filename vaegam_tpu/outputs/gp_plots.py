@@ -22,7 +22,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from ..models import gp as gp_mod  # noqa: E402
-from ..models.vaegam import MOTION_SLICE, gp_transforms  # noqa: E402
+from ..models.vaegam import MOTION_SLICE, gp_transforms, resolve_qu_S  # noqa: E402
 
 MOTION_CSV_COLS = ["x", "y", "z", "rot_x", "rot_y", "rot_z"]
 MOTION_KEYS = ["x", "y", "z", "xrot", "yrot", "zrot"]
@@ -37,6 +37,7 @@ def plot_GPs(trainer, csv_file: str = "", save_dir: str = ""):
     all_covariates = data[MOTION_CSV_COLS].to_numpy()
 
     gp_p = jax.tree_util.tree_map(jnp.asarray, trainer.params["gp"])
+    gp_p["qu_S"] = resolve_qu_S(gp_p)
     kvar, ls = gp_transforms(gp_p, trainer.config)
     xu = trainer.consts["xu"]
     sa = np.asarray(gp_p["sa"])

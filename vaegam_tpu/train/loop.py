@@ -34,7 +34,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import VAEGAMConfig, forward, init_model
-from ..models.vaegam import COVARIATE_KEYS
+from ..models.vaegam import COVARIATE_KEYS, resolve_qu_S
 from ..utils import tb
 from .checkpoint import checkpoint_filename, load_checkpoint, save_checkpoint
 
@@ -180,6 +180,7 @@ class Trainer:
             if self.writer is not None:
                 self.writer.add_scalar("Loss/Train", loss, self.epoch)
                 gp_np = jax.tree_util.tree_map(np.asarray, self.params["gp"])
+                gp_np["qu_S"] = np.asarray(resolve_qu_S(self.params["gp"]))
                 xu_np = np.asarray(self.consts["xu"])
                 tb.log_qu_plots(self.epoch, gp_np, xu_np, self.writer, "train")
                 tb.log_qkappa_plots(gp_np, self.writer, "train")
@@ -221,6 +222,7 @@ class Trainer:
         Returns True if healthy.
         """
         gp_np = jax.tree_util.tree_map(np.asarray, self.params["gp"])
+        gp_np["qu_S"] = np.asarray(resolve_qu_S(self.params["gp"]))
         healthy = True
         for j in range(gp_np["qu_S"].shape[0]):
             try:
