@@ -115,3 +115,25 @@ def test_normal_log_prob_matches_torch():
         got = normal_log_prob(jnp.array(x), 0.3, 1.7)
     # weak-typed python scalar args leave one op at f32 precision
     np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-7)
+
+
+def test_mvn_sample_safe_recovers_near_psd():
+    """Slightly-indefinite + asymmetric covariances must sample finitely."""
+    from vaegam_tpu.models.distributions import mvn_sample_safe
+
+    rng = np.random.default_rng(7)
+    n = 16
+    a = rng.normal(size=(n, n))
+    cov = (a @ a.T).astype(np.float32)
+    # inject sub-jitter negative eigenvalue + fp32-scale asymmetry
+    w, v = np.linalg.eigh(cov)
+    w[0] = -1e-4
+    cov = (v @ np.diag(w) @ v.T).astype(np.float32)
+    cov += rng.normal(0, 1e-3, size=(n, n)).astype(np.float32)  # asymmetric
+    out = mvn_sample_safe(jax.random.PRNGKey(0), jnp.zeros(n),
+                          jnp.asarray(cov))
+    assert np.isfinite(np.asarray(out)).all()
+    # hopeless covariance still fails visibly
+    bad = -jnp.eye(n)
+    out_bad = mvn_sample_safe(jax.random.PRNGKey(0), jnp.zeros(n), bad)
+    assert np.isnan(np.asarray(out_bad)).all()

@@ -88,6 +88,14 @@ def build_parser():
     parser.add_argument("--qu_s_cholesky", type=str2bool, nargs="?",
                         const=True, default=False,
                         help="Parameterize each GP posterior covariance as L L^T (always PSD) instead of the reference's raw matrix — fixes the reference's known qu_S instability at the cost of exact-behavior parity.")
+    parser.add_argument("--skip_nonfinite_updates", type=str2bool, nargs="?",
+                        const=True, default=True,
+                        help="Skip optimizer updates whose gradients contain inf/NaN (the regime where the reference crashes); healthy-step numerics unchanged.")
+    parser.add_argument("--grad_clip", type=float, metavar="N", default=0.0,
+                        help="Global-norm gradient clipping (0 = off).")
+    parser.add_argument("--device_data_cache", type=str2bool, nargs="?",
+                        const=True, default=True,
+                        help="Upload the whole dataset to device HBM once and gather batches on device (falls back to the streaming loader for datasets over 4 GiB).")
     return parser
 
 
@@ -109,11 +117,21 @@ def main(argv=None):
         init_multihost()
         shard_index, num_shards = jax.process_index(), jax.process_count()
         args.data_parallel = True
-    loaders_dict = setup_data_loaders(
+    loader_kwargs = dict(
         batch_size=args.batch_size, train_csv=args.train_csv,
         test_csv=args.test_csv, seed=args.seed,
         shard_index=shard_index, num_shards=num_shards,
     )
+    loaders_dict = None
+    if args.device_data_cache:
+        from ..data import setup_device_loaders
+
+        try:
+            loaders_dict = setup_device_loaders(**loader_kwargs)
+        except ValueError as e:
+            print(f"[device cache disabled] {e}")
+    if loaders_dict is None:
+        loaders_dict = setup_data_loaders(**loader_kwargs)
 
     config = VAEGAMConfig(
         nf=args.nf,
@@ -139,6 +157,8 @@ def main(argv=None):
     trainer = Trainer(
         config, xu_ranges, glm_maps=glm_maps, save_dir=args.save_dir,
         seed=args.seed, log_figs_every=args.log_figs_every, mesh=mesh,
+        skip_nonfinite_updates=args.skip_nonfinite_updates,
+        grad_clip=args.grad_clip,
     )
 
     if args.from_ckpt:

@@ -69,6 +69,29 @@ def mvn_sample(key, mean, cov):
     return mean + jnp.einsum("...ij,...j->...i", chol, eps)
 
 
+def mvn_sample_safe(key, mean, cov, jitters=(1e-4, 1e-3, 1e-2)):
+    """mvn_sample with symmetrization + escalating-jitter Cholesky.
+
+    In fp32, GP posterior covariances built through an ill-conditioned Kuu
+    solve carry O(1e-3) asymmetry and eigenvalues slightly below zero — the
+    regime where the reference's torch MVN hard-crashes (gp.py:47-63,
+    vae_reg_GP.py:368).  The first factorization attempt uses cov exactly as
+    given (numerics identical to the reference whenever it would survive);
+    per-matrix NaN factors fall back to progressively larger diagonal
+    jitter.  If every attempt fails the result is NaN, preserving the
+    fail-visibly contract.
+    """
+    cov = 0.5 * (cov + jnp.swapaxes(cov, -1, -2))
+    eye = jnp.eye(cov.shape[-1], dtype=cov.dtype)
+    chol = jnp.linalg.cholesky(cov)
+    for j in jitters:
+        bad = jnp.isnan(chol).any(axis=(-2, -1), keepdims=True)
+        cand = jnp.linalg.cholesky(cov + j * eye)
+        chol = jnp.where(bad, cand, chol)
+    eps = jax.random.normal(key, mean.shape, dtype=mean.dtype)
+    return mean + jnp.einsum("...ij,...j->...i", chol, eps)
+
+
 def mvn_kl(mu_q, cov_q, prior_var):
     """KL( N(mu_q, cov_q) || N(0, prior_var * I) ), Cholesky-based.
 

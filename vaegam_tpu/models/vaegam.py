@@ -42,7 +42,7 @@ from ..utils.signals import hrf
 from . import gp as gp_mod
 from .distributions import (
     lowrank_mvn_kl_to_std_normal,
-    mvn_sample,
+    mvn_sample_safe,
     normal_kl,
     normal_log_prob,
 )
@@ -265,8 +265,9 @@ def forward(
     gp_kl_loss = lin_kl + jnp.sum(gp_kls)
 
     # batch-coupled gain sample: one batched Cholesky over (C, B, B)
-    # (vae_reg_GP.py:368-369, jitter 1e-5)
-    gains = mvn_sample(k_beta, beta_mean, beta_cov + 1e-5 * eye_b[None])
+    # (vae_reg_GP.py:368-369, jitter 1e-5; escalating fallback for fp32
+    # ill-conditioning where the reference would crash — see mvn_sample_safe)
+    gains = mvn_sample_safe(k_beta, beta_mean, beta_cov + 1e-5 * eye_b[None])
 
     # HRF-convolve neural covariates over the batch axis
     # (vae_reg_GP.py:377-378 — batch position treated as time; quirk preserved)
@@ -313,6 +314,10 @@ def forward(
         "glm_reg": glm_reg,
         "beta_mean": beta_mean,
         "beta_cov_diag": jnp.diagonal(beta_cov, axis1=-2, axis2=-1),
+        # scalar diagnostics (near-free; used by NaN triage + observability)
+        "kl_z_mean": jnp.mean(kl_z),
+        "log_prob_mean": jnp.mean(log_prob),
+        "gains_absmax": jnp.max(jnp.abs(gains)),
     }
     if return_maps:
         aux["z"] = z

@@ -1,0 +1,180 @@
+"""End-to-end synthetic-control validation (BASELINE configs[0]).
+
+The reference's de-facto correctness oracle (SURVEY.md §4): inject a known
+synthetic signal into fMRI volumes, train WITHOUT the GLM regularizer, and
+verify the recovered `task` covariate map concentrates on the injected
+voxels.
+
+Runs the real pipeline end-to-end: subject tree -> add_signal CLI ->
+preproc CLI -> Trainer (on whatever jax backend is active; a TPU chip runs
+300 epochs of the toy in well under a minute of device time) -> per-volume
+reconstruction -> averaged maps -> quantitative check.
+
+Usage:
+  python -m vaegam_tpu.tools.control_experiment --work_dir /tmp/ctl \
+      --epochs 300 --intensity 400
+
+Prints a JSON line with the recovery metrics and exits nonzero on failure.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+
+
+def build_fake_subjects(root, n_subjs, n_vols, seed=0):
+    """Realistic-ish toy: smooth random 'anatomy' + noise, full (41,49,35)."""
+    from ..utils import nifti
+    from ..utils.signals import control_stimulus_to_neural  # noqa: F401
+
+    from scipy import ndimage
+
+    rng = np.random.default_rng(seed)
+    subj_ids = []
+    for s in range(n_subjs):
+        subj = f"sub-A000{70 + s:02d}"
+        subj_ids.append(subj)
+        sdir = os.path.join(root, subj)
+        os.makedirs(sdir, exist_ok=True)
+        # smooth random field = representable "anatomy" (white noise is not
+        # expressible by a conv decoder and would bury the injected signal)
+        field = ndimage.gaussian_filter(
+            rng.normal(size=(41, 49, 35)), sigma=4.0
+        )
+        field = (field - field.min()) / (field.max() - field.min())
+        base = (300 + 2500 * field).astype(np.float32)
+        vols = np.stack(
+            [base + rng.normal(0, 15, (41, 49, 35)) for _ in range(n_vols)],
+            axis=-1,
+        ).astype(np.float32)
+        nifti.save(
+            nifti.Nifti1Image(vols, np.diag([3.0, 3.0, 3.0, 1.0])),
+            os.path.join(
+                sdir, f"{subj}_preproc_bold_brainmasked_resampled.nii.gz"
+            ),
+        )
+        mot = pd.DataFrame(
+            {c: rng.normal(0, 0.4, n_vols)
+             for c in ["trans_x", "trans_y", "trans_z",
+                       "rot_x", "rot_y", "rot_z"]}
+        )
+        mot.to_csv(
+            os.path.join(
+                sdir,
+                f"{subj}_task-CHECKERBOARD_acq-1400_desc-confounds_"
+                "regressors_toy.tsv",
+            ),
+            sep="\t", index=False,
+        )
+    pd.DataFrame(
+        {"subjID": subj_ids, "gender ": [i % 2 for i in range(n_subjs)]}
+    ).to_csv(os.path.join(root, "sex_info.csv"), index=False)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--work_dir", type=str, required=True)
+    parser.add_argument("--epochs", type=int, default=300)
+    parser.add_argument("--n_vols", type=int, default=98)
+    parser.add_argument("--n_subjs", type=int, default=1)
+    parser.add_argument("--intensity", type=float, default=1000.0)
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument("--qu_s_cholesky", action="store_true", default=True,
+                        help="Use the PSD qu_S parameterization (default on: "
+                        "the reference's raw parameterization diverges on "
+                        "this toy around epoch ~16, its known instability).")
+    parser.add_argument("--no-qu_s_cholesky", dest="qu_s_cholesky",
+                        action="store_false")
+    args = parser.parse_args(argv)
+
+    from ..cli import add_signal, preproc
+    from ..cli.add_signal import build_control_signal
+    from ..data import setup_device_loaders
+    from ..models import VAEGAMConfig
+    from ..outputs import mk_avg_maps, mk_single_volumes
+    from ..train import Trainer
+    from ..utils import nifti
+    from ..utils.stats import get_xu_ranges
+
+    data_dir = os.path.join(args.work_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    build_fake_subjects(data_dir, args.n_subjs, args.n_vols, seed=0)
+
+    t0 = time.time()
+    add_signal.main(
+        ["--root_dir", data_dir, "--intensity", str(args.intensity),
+         "--shape", "simple"]
+    )
+    csv = preproc.main(
+        ["--data_dir", data_dir, "--save_dir", args.work_dir, "--control",
+         "--control_int", str(int(args.intensity)), "--set_tag", "TRAIN",
+         "--nii_file_pattern", "*_ALTERED_simple_*.nii.gz",
+         "--sex_info", os.path.join(data_dir, "sex_info.csv"),
+         "--mot_file_pattern",
+         "sub-A000*_desc-confounds_regressors_*.tsv"]
+    )
+
+    run_dir = os.path.join(args.work_dir, "run")
+    config = VAEGAMConfig(glm_reg_scale=0.0, neural_covariates=False,
+                          qu_s_cholesky=args.qu_s_cholesky)
+    loaders = setup_device_loaders(batch_size=args.batch_size, train_csv=csv,
+                                   test_csv=csv, seed=args.seed)
+    trainer = Trainer(config, get_xu_ranges([csv, csv]), glm_maps=None,
+                      save_dir=run_dir, seed=args.seed, enable_tb=False)
+    t_train0 = time.time()
+    trainer.train_loop(loaders, epochs=args.epochs, test_freq=None,
+                       save_freq=None, save_dir=run_dir)
+    train_secs = time.time() - t_train0
+
+    mk_single_volumes(loaders["UnShuffled_train"], trainer, csv, run_dir)
+    mk_avg_maps(csv, trainer, run_dir, mk_motion_maps=False)
+
+    # --- recovery check ------------------------------------------------------
+    ckpt = str(trainer.epoch).zfill(3)
+    task_avgs = glob.glob(
+        os.path.join(run_dir, "reconstructions", f"{ckpt}_avg_model_recons",
+                     "task_avg.nii")
+    )
+    task_map = np.array(nifti.load(task_avgs[0]).dataobj)
+    mask = build_control_signal("simple", 1.0, 1, 7) > 0
+
+    inside = float(np.mean(np.abs(task_map[mask])))
+    outside = float(np.mean(np.abs(task_map[~mask])))
+    contrast = inside / max(outside, 1e-12)
+    # also check against scaled ground truth: injected/3284.5
+    expected = args.intensity / 3284.5
+    inside_mean = float(np.mean(task_map[mask]))
+
+    vols_per_sec = args.epochs * args.n_vols * args.n_subjs / train_secs
+    # NOTE on thresholds: without the GLM regularizer the base/effect
+    # decomposition is only weakly identified — past ~500 epochs the latent
+    # z starts absorbing the block signal and the task map collapses (the
+    # same dynamic exists in the reference, whose control runs use the
+    # 300-epoch default).  The oracle therefore targets the reference's
+    # operative regime: clear above-background contrast at ~300 epochs.
+    result = {
+        "epochs": args.epochs,
+        "train_seconds": round(train_secs, 1),
+        "train_vols_per_sec": round(vols_per_sec, 1),
+        "task_map_mean_inside": round(inside_mean, 4),
+        "expected_scaled_signal": round(expected, 4),
+        "abs_inside": round(inside, 4),
+        "abs_outside": round(outside, 5),
+        "contrast_ratio": round(contrast, 2),
+        "recovered": bool(contrast > 2.0 and inside_mean > 0.25 * expected),
+        "total_seconds": round(time.time() - t0, 1),
+    }
+    print(json.dumps(result))
+    return 0 if result["recovered"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

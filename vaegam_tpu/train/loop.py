@@ -53,6 +53,8 @@ class Trainer:
         log_figs_every: int = 0,
         mesh: Optional[Mesh] = None,
         enable_tb: bool = True,
+        skip_nonfinite_updates: bool = True,
+        grad_clip: float = 0.0,
     ):
         self.config = config
         self.save_dir = save_dir
@@ -65,7 +67,18 @@ class Trainer:
         key = jax.random.PRNGKey(seed)
         self._key, init_key = jax.random.split(key)
         self.params, self.consts = init_model(init_key, config, xu_ranges, glm_maps)
-        self.tx = optax.adam(lr)
+        # optimizer: Adam (reference vae_reg_GP.py:179) with optional
+        # production guards.  skip_nonfinite_updates rejects steps whose
+        # gradients contain inf/NaN (the Cholesky VJP of a near-singular
+        # gain covariance produces these in exactly the regime where the
+        # reference hard-crashes) — healthy-step numerics are UNCHANGED.
+        tx = optax.adam(lr)
+        if grad_clip and grad_clip > 0:
+            tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+        if skip_nonfinite_updates:
+            tx = optax.apply_if_finite(tx, max_consecutive_errors=100000)
+        self.skip_nonfinite_updates = skip_nonfinite_updates
+        self.tx = tx
         self.opt_state = self.tx.init(self.params)
         self.epoch = 0
         self.loss: Dict[str, Dict[int, float]] = {"train": {}, "test": {}}
@@ -151,6 +164,13 @@ class Trainer:
             # failure detection (reference gp.py:47-63): a non-PSD qu_S turns
             # the loss NaN through the KL Cholesky — dump diagnostics
             self.check_gp_stability(last_covs)
+        if self.skip_nonfinite_updates:
+            skipped = int(np.asarray(
+                self.opt_state.total_notfinite  # optax.apply_if_finite state
+            ))
+            if skipped:
+                print(f"  [warn] {skipped} non-finite gradient step(s) "
+                      "skipped so far (reference would have crashed here)")
         train_loss /= len(train_loader.dataset)
         print(f"Epoch: {self.epoch} Average loss: {train_loss:.4f}")
         self.epoch += 1
@@ -226,6 +246,8 @@ class Trainer:
         healthy = True
         for j in range(gp_np["qu_S"].shape[0]):
             try:
+                if not np.isfinite(gp_np["qu_S"][j]).all():
+                    raise np.linalg.LinAlgError("non-finite qu_S")
                 np.linalg.cholesky(
                     gp_np["qu_S"][j].astype(np.float64)
                 )
