@@ -93,6 +93,10 @@ def main(argv=None):
                         "this toy around epoch ~16, its known instability).")
     parser.add_argument("--no-qu_s_cholesky", dest="qu_s_cholesky",
                         action="store_false")
+    parser.add_argument("--glm_reg", action="store_true", default=False,
+                        help="Also exercise the GLM regularizer (configs[1]):"
+                        " build ground-truth beta maps for the injected "
+                        "signal and train with glm_reg_scale=1.")
     args = parser.parse_args(argv)
 
     from ..cli import add_signal, preproc
@@ -123,11 +127,22 @@ def main(argv=None):
     )
 
     run_dir = os.path.join(args.work_dir, "run")
-    config = VAEGAMConfig(glm_reg_scale=0.0, neural_covariates=False,
+    glm_maps = None
+    glm_reg_scale = 0.0
+    if args.glm_reg:
+        # ground-truth beta maps for the toy: task map = scaled injected
+        # signal, motion/sex maps = 0 (csv read WITH index col -> 9 columns,
+        # matching vae_reg_GP.py:58-59 semantics)
+        sig = build_control_signal("simple", args.intensity, 1, 7) / 3284.5
+        glm_maps = np.zeros((sig.size, 9), np.float32)
+        glm_maps[:, 1] = sig.reshape(-1)
+        glm_reg_scale = 1.0
+    config = VAEGAMConfig(glm_reg_scale=glm_reg_scale,
+                          neural_covariates=False,
                           qu_s_cholesky=args.qu_s_cholesky)
     loaders = setup_device_loaders(batch_size=args.batch_size, train_csv=csv,
                                    test_csv=csv, seed=args.seed)
-    trainer = Trainer(config, get_xu_ranges([csv, csv]), glm_maps=None,
+    trainer = Trainer(config, get_xu_ranges([csv, csv]), glm_maps=glm_maps,
                       save_dir=run_dir, seed=args.seed, enable_tb=False)
     t_train0 = time.time()
     trainer.train_loop(loaders, epochs=args.epochs, test_freq=None,
