@@ -23,12 +23,11 @@ TPU-first changes vs the reference:
 from __future__ import annotations
 
 from collections import OrderedDict
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 import pandas as pd
 
-from ..utils import nifti
 
 # global intensity scale across all volumes (DataClass_GP.py:49)
 GLOBAL_SCALE = 3284.5

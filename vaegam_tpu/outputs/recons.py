@@ -25,7 +25,6 @@ from typing import Dict, List
 import numpy as np
 import pandas as pd
 
-import jax
 
 from ..models.vaegam import MAP_KEYS
 from ..utils import nifti

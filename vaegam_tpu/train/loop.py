@@ -24,7 +24,7 @@ from __future__ import annotations
 import datetime
 import os
 import pickle
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import numpy as np
 
