@@ -289,13 +289,22 @@ class Trainer:
         state = load_checkpoint(filename, expect_z_dim=self.config.z_dim)
         as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
         self.params = as_jnp(state["params"])
-        # restore optimizer state with the correct pytree structure
+        # restore optimizer state with the correct pytree structure; a
+        # structure mismatch (e.g. checkpoint written with a different
+        # optimizer chain, or imported from a torch checkpoint) falls back
+        # to fresh moments — inference is unaffected, resumed training
+        # restarts Adam's statistics
         ref_state = self.tx.init(self.params)
         flat, _ = jax.tree_util.tree_flatten(state["optimizer_state"])
         _, treedef = jax.tree_util.tree_flatten(ref_state)
-        self.opt_state = jax.tree_util.tree_unflatten(
-            treedef, [jnp.asarray(l) for l in flat]
-        )
+        try:
+            self.opt_state = jax.tree_util.tree_unflatten(
+                treedef, [jnp.asarray(l) for l in flat]
+            )
+        except ValueError:
+            print("[load_state] optimizer-state structure mismatch — "
+                  "reinitializing optimizer moments")
+            self.opt_state = ref_state
         self.loss = state["loss"]
         self.epoch = state["epoch"]
         if state.get("consts") is not None:
