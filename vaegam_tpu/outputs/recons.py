@@ -20,6 +20,7 @@ the on-disk copies are the same float32 arrays we averaged).
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List
 
 import numpy as np
@@ -29,6 +30,11 @@ import pandas as pd
 from ..models.vaegam import MAP_KEYS
 from ..utils import nifti
 
+# NIfTI writes are pure host I/O; a small writer pool overlaps them with the
+# next batch's device compute (the reference writes thousands of small files
+# synchronously inside its recon loop, vae_reg_GP.py:605-620 — flagged as a
+# host-I/O hot spot in SURVEY.md §7)
+_WRITER_THREADS = min(8, (os.cpu_count() or 1) * 2)
 
 
 def reconstruct(trainer, loader, ref_niis: List[str], save_dirs: List[str]):
@@ -42,29 +48,37 @@ def reconstruct(trainer, loader, ref_niis: List[str], save_dirs: List[str]):
     ref_imgs = {}
     sums: Dict[int, Dict[str, np.ndarray]] = {}
     counts: Dict[int, int] = {}
-    for sample in loader:
-        covs, x = trainer._put_batch(sample)
-        _, aux = trainer._maps_step(trainer.params, trainer._next_key(), covs, x)
-        maps = {k: np.asarray(v) for k, v in aux["maps"].items()}
-        for i in range(covs.shape[0]):
-            subj_idx = int(sample["subjid"][i])
-            vol_num = int(sample["vol_num"][i])
-            vol_dir = os.path.join(save_dirs[subj_idx], f"vol_{vol_num}")
-            os.makedirs(vol_dir, exist_ok=True)
-            if subj_idx not in ref_imgs:
-                ref_imgs[subj_idx] = nifti.load(ref_niis[subj_idx])
-            ref = ref_imgs[subj_idx]
-            acc = sums.setdefault(
-                subj_idx, {k: np.zeros(img_shape, np.float64) for k in MAP_KEYS}
+    with ThreadPoolExecutor(max_workers=_WRITER_THREADS) as pool:
+        futures = []
+        for sample in loader:
+            covs, x = trainer._put_batch(sample)
+            _, aux = trainer._maps_step(
+                trainer.params, trainer._next_key(), covs, x
             )
-            counts[subj_idx] = counts.get(subj_idx, 0) + 1
-            for key in MAP_KEYS:
-                recon = maps[key][i].reshape(img_shape).astype(np.float32)
-                acc[key] += recon
-                nifti.save(
-                    nifti.Nifti1Image(recon, ref.affine, ref.header),
-                    os.path.join(vol_dir, f"recon_{key}.nii"),
+            maps = {k: np.asarray(v) for k, v in aux["maps"].items()}
+            for i in range(covs.shape[0]):
+                subj_idx = int(sample["subjid"][i])
+                vol_num = int(sample["vol_num"][i])
+                vol_dir = os.path.join(save_dirs[subj_idx], f"vol_{vol_num}")
+                os.makedirs(vol_dir, exist_ok=True)
+                if subj_idx not in ref_imgs:
+                    ref_imgs[subj_idx] = nifti.load(ref_niis[subj_idx])
+                ref = ref_imgs[subj_idx]
+                acc = sums.setdefault(
+                    subj_idx,
+                    {k: np.zeros(img_shape, np.float64) for k in MAP_KEYS},
                 )
+                counts[subj_idx] = counts.get(subj_idx, 0) + 1
+                for key in MAP_KEYS:
+                    recon = maps[key][i].reshape(img_shape).astype(np.float32)
+                    acc[key] += recon
+                    futures.append(pool.submit(
+                        nifti.save,
+                        nifti.Nifti1Image(recon, ref.affine, ref.header),
+                        os.path.join(vol_dir, f"recon_{key}.nii"),
+                    ))
+        for f in futures:
+            f.result()  # surface any write error
     return sums, counts
 
 
