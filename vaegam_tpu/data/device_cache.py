@@ -80,6 +80,21 @@ class DeviceResidentLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def iter_index_batches(self) -> Iterator[np.ndarray]:
+        """Yield per-batch index arrays (host numpy) for gather-fused steps.
+
+        Same shuffle stream as __iter__ would consume; callers gather on
+        device inside their own jitted step (Trainer._gather_train_step).
+        """
+        order = np.arange(len(self._rows))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        for start in range(0, len(order), self.batch_size):
+            sel = order[start : start + self.batch_size]
+            if self.drop_last and len(sel) < self.batch_size:
+                return
+            yield sel
+
     def __iter__(self) -> Iterator[dict]:
         order = np.arange(len(self._rows))
         if self.shuffle:

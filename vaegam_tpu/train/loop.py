@@ -101,6 +101,7 @@ class Trainer:
             self._replicated = None
 
         self._train_step = self._build_train_step()
+        self._gather_train_step = self._build_gather_train_step()
         self._eval_step = self._build_eval_step(return_maps=False)
         self._maps_step = self._build_eval_step(return_maps=True)
 
@@ -117,6 +118,29 @@ class Trainer:
             return params, opt_state, loss, aux
 
         return jax.jit(step, donate_argnums=(0, 1))
+
+    def _build_gather_train_step(self):
+        """Train step with the batch gather and PRNG split fused inside jit.
+
+        For device-resident datasets this collapses each step to ONE
+        dispatch (gather + key split + fwd/bwd + update), which matters on
+        remote-attached devices where every eager op pays tunnel latency.
+        Numerics are identical to the plain step fed by the loader's gather.
+        """
+        config, tx, consts = self.config, self.tx, self.consts
+
+        def step(params, opt_state, key, vols, covs_all, idx):
+            key, sub = jax.random.split(key)
+            covariates = jnp.take(covs_all, idx, axis=0)
+            x = jnp.take(vols, idx, axis=0)
+            (loss, aux), grads = jax.value_and_grad(forward, has_aux=True)(
+                params, consts, sub, covariates, x, config
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, key, loss
+
+        return jax.jit(step, donate_argnums=(0, 1, 2))
 
     def _build_eval_step(self, return_maps: bool):
         config, consts = self.config, self.consts
@@ -144,6 +168,13 @@ class Trainer:
 
     # --------------------------------------------------------------- epochs
     def train_epoch(self, train_loader) -> float:
+        # fast path: device-resident dataset + no per-batch figure logging
+        # => single-dispatch steps with the gather fused inside jit
+        if (
+            hasattr(train_loader, "iter_index_batches")
+            and not (self.writer is not None and self.log_figs_every)
+        ):
+            return self._train_epoch_fused(train_loader)
         losses = []
         last_covs = None
         for batch_idx, sample in enumerate(train_loader):
@@ -172,6 +203,34 @@ class Trainer:
                 print(f"  [warn] {skipped} non-finite gradient step(s) "
                       "skipped so far (reference would have crashed here)")
         train_loss /= len(train_loader.dataset)
+        print(f"Epoch: {self.epoch} Average loss: {train_loss:.4f}")
+        self.epoch += 1
+        return train_loss
+
+    def _train_epoch_fused(self, loader) -> float:
+        losses = []
+        last_sel = None
+        key = self._next_key()  # one device key chained inside the steps
+        for sel in loader.iter_index_batches():
+            last_sel = sel
+            self.params, self.opt_state, key, loss = self._gather_train_step(
+                self.params, self.opt_state, key,
+                loader._vols, loader._covs, jnp.asarray(sel),
+            )
+            losses.append(loss)
+        train_loss = float(np.sum([np.asarray(l) for l in losses]))
+        if not np.isfinite(train_loss):
+            last_covs = (
+                np.asarray(loader._covs)[last_sel] if last_sel is not None
+                else None
+            )
+            self.check_gp_stability(last_covs)
+        if self.skip_nonfinite_updates:
+            skipped = int(np.asarray(self.opt_state.total_notfinite))
+            if skipped:
+                print(f"  [warn] {skipped} non-finite gradient step(s) "
+                      "skipped so far (reference would have crashed here)")
+        train_loss /= len(loader.dataset)
         print(f"Epoch: {self.epoch} Average loss: {train_loss:.4f}")
         self.epoch += 1
         return train_loss
@@ -315,5 +374,6 @@ class Trainer:
             self.consts = jax.device_put(self.consts, self._replicated)
         # consts may have changed => rebuild the jitted closures
         self._train_step = self._build_train_step()
+        self._gather_train_step = self._build_gather_train_step()
         self._eval_step = self._build_eval_step(return_maps=False)
         self._maps_step = self._build_eval_step(return_maps=True)
