@@ -84,3 +84,37 @@ def test_sharded_loader_partitions_rows(csvs):
                 (batch["subjid"] * 100 + batch["vol_num"]).tolist()
             )
     assert len(all_rows) == 12 and len(set(all_rows)) == 12
+
+
+def test_prefetch_loader_matches_dataloader(csvs):
+    """PrefetchLoader yields the same batches as DataLoader (same shuffle
+    stream), just pipelined and already device-resident."""
+    from vaegam_tpu.data import PrefetchLoader
+
+    _, train = csvs
+    ds = FMRIDataset(train)
+    plain = DataLoader(ds, batch_size=4, shuffle=True, seed=5)
+    pref = PrefetchLoader(ds, batch_size=4, shuffle=True, seed=5, depth=2)
+    assert len(plain) == len(pref)
+    for a, b in zip(plain, pref):
+        np.testing.assert_array_equal(a["volume"], np.asarray(b["volume"]))
+        np.testing.assert_array_equal(
+            a["covariates"], np.asarray(b["covariates"])
+        )
+        np.testing.assert_array_equal(a["subjid"], b["subjid"])
+
+
+def test_prefetch_loader_sharded_mesh(csvs):
+    """Under a mesh the prefetched batches land P('data')-sharded."""
+    from jax.sharding import PartitionSpec as P
+
+    from vaegam_tpu.data import PrefetchLoader
+    from vaegam_tpu.parallel import make_data_mesh
+
+    _, train = csvs
+    ds = FMRIDataset(train)
+    mesh = make_data_mesh()
+    pref = PrefetchLoader(ds, batch_size=8, shuffle=False, mesh=mesh)
+    batch = next(iter(pref))
+    assert batch["volume"].sharding.spec == P("data")
+    assert batch["covariates"].sharding.spec == P("data")

@@ -17,6 +17,8 @@ from vaegam_tpu.cli import add_signal, preproc
 from vaegam_tpu.cli import train as train_cli
 from vaegam_tpu.utils import nifti
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def pipeline(tmp_path_factory):

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 from vaegam_tpu.models import MAP_KEYS, VAEGAMConfig, forward, init_model
 
 B = 6
+
+pytestmark = pytest.mark.slow
 XU_RANGES = [[-2.0, 2.0]] * 6
 
 

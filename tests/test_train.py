@@ -96,3 +96,34 @@ def test_z_dim_mismatch_rejected(setup, tmp_path):
                  save_dir=str(tmp_path), enable_tb=False)
     with pytest.raises(AssertionError):
         t2.load_state(ckpt)
+
+
+def test_load_state_adopts_checkpoint_scalars(setup, tmp_path, capsys):
+    """Resume with different CLI scales must adopt the checkpoint's scalars
+    (reference restores them, vae_reg_GP.py:477-487) and say so."""
+    _, loaders, xu_ranges = setup
+    config = VAEGAMConfig(nf=2, num_latents=8, gp_kl_scale=10.0,
+                          glm_reg_scale=1.0)
+    t1 = Trainer(config, xu_ranges, glm_maps=None, lr=1e-3,
+                 save_dir=str(tmp_path), seed=3, enable_tb=False)
+    ckpt = str(tmp_path / "scalars.tar")
+    t1.save_state(ckpt)
+
+    # resume with mismatching scales + lr: checkpoint wins
+    config2 = VAEGAMConfig(nf=2, num_latents=8, gp_kl_scale=99.0,
+                           glm_reg_scale=7.0)
+    t2 = Trainer(config2, xu_ranges, glm_maps=None, lr=5e-4,
+                 save_dir=str(tmp_path), seed=3, enable_tb=False)
+    t2.load_state(ckpt)
+    out = capsys.readouterr().out
+    assert "adopting checkpoint" in out
+    assert t2.config.gp_kl_scale == 10.0
+    assert t2.config.glm_reg_scale == 1.0
+    assert t2.lr == 1e-3
+
+    # matching scales: silent, config untouched
+    t3 = Trainer(config, xu_ranges, glm_maps=None, lr=1e-3,
+                 save_dir=str(tmp_path), seed=3, enable_tb=False)
+    capsys.readouterr()
+    t3.load_state(ckpt)
+    assert "adopting" not in capsys.readouterr().out

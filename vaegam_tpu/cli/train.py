@@ -116,6 +116,15 @@ def main(argv=None):
         init_multihost()
         shard_index, num_shards = jax.process_index(), jax.process_count()
         args.data_parallel = True
+
+    # the mesh must exist BEFORE the loaders: the device cache replicates
+    # the dataset over it and constrains batch gathers to P('data')
+    mesh = None
+    if args.data_parallel:
+        from ..parallel import make_data_mesh
+
+        mesh = make_data_mesh()
+
     loader_kwargs = dict(
         batch_size=args.batch_size, train_csv=args.train_csv,
         test_csv=args.test_csv, seed=args.seed,
@@ -126,9 +135,13 @@ def main(argv=None):
         from ..data import setup_device_loaders
 
         try:
-            loaders_dict = setup_device_loaders(**loader_kwargs)
+            loaders_dict = setup_device_loaders(mesh=mesh, **loader_kwargs)
         except ValueError as e:
-            print(f"[device cache disabled] {e}")
+            print(f"[device cache disabled] {e} — using the double-buffered "
+                  "host->HBM prefetch pipeline")
+            from ..data import setup_prefetch_loaders
+
+            loaders_dict = setup_prefetch_loaders(mesh=mesh, **loader_kwargs)
     if loaders_dict is None:
         loaders_dict = setup_data_loaders(**loader_kwargs)
 
@@ -146,12 +159,6 @@ def main(argv=None):
     if args.glm_maps:
         glm_maps = pd.read_csv(args.glm_maps).to_numpy()
     xu_ranges = get_xu_ranges([args.train_csv, args.test_csv])
-
-    mesh = None
-    if args.data_parallel:
-        from ..parallel import make_data_mesh
-
-        mesh = make_data_mesh()
 
     trainer = Trainer(
         config, xu_ranges, glm_maps=glm_maps, save_dir=args.save_dir,

@@ -210,12 +210,17 @@ def forward(
     x: jnp.ndarray,           # (B, *img_shape)
     config: VAEGAMConfig,
     return_maps: bool = False,
+    deterministic: bool = False,
 ):
     """Composite VAE-GAM objective (reference vae_reg_GP.py:307-413).
 
     Returns (tot_loss, aux) where aux carries scalars
     {elbo, gp_kl, glm_reg} and, when return_maps, 'z' (B, num_latents) and
     'maps' — dict over MAP_KEYS of (B, img_dim) arrays.
+
+    deterministic=True replaces both stochastic draws with their means
+    (z = mu, gains = beta_mean): posterior-mean maps for inference and the
+    sampling-free path used by the 1e-3 reference-parity tests.
     """
     b = x.shape[0]
     n_cov = config.num_covariates
@@ -226,10 +231,13 @@ def forward(
     # global d-floor: if ANY element is tiny, shift the WHOLE tensor
     # (vae_reg_GP.py:321-323 — intentional parity with the reference)
     d = jnp.where(jnp.any(d < 1e-6), d + 1e-6, d)
-    k_w, k_d = jax.random.split(k_z)
-    eps_w = jax.random.normal(k_w, (b, 1), dtype=mu.dtype)
-    eps_d = jax.random.normal(k_d, mu.shape, dtype=mu.dtype)
-    z = mu + u * eps_w + jnp.sqrt(d) * eps_d
+    if deterministic:
+        z = mu
+    else:
+        k_w, k_d = jax.random.split(k_z)
+        eps_w = jax.random.normal(k_w, (b, 1), dtype=mu.dtype)
+        eps_d = jax.random.normal(k_d, mu.shape, dtype=mu.dtype)
+        z = mu + u * eps_w + jnp.sqrt(d) * eps_d
 
     # --- ONE batched decode for base + all covariate effect maps ----------
     onehots = jnp.eye(n_cov + 1, dtype=z.dtype)                   # (9, 9)
@@ -267,7 +275,12 @@ def forward(
     # batch-coupled gain sample: one batched Cholesky over (C, B, B)
     # (vae_reg_GP.py:368-369, jitter 1e-5; escalating fallback for fp32
     # ill-conditioning where the reference would crash — see mvn_sample_safe)
-    gains = mvn_sample_safe(k_beta, beta_mean, beta_cov + 1e-5 * eye_b[None])
+    if deterministic:
+        gains = beta_mean
+    else:
+        gains = mvn_sample_safe(
+            k_beta, beta_mean, beta_cov + 1e-5 * eye_b[None]
+        )
 
     # HRF-convolve neural covariates over the batch axis
     # (vae_reg_GP.py:377-378 — batch position treated as time; quirk preserved)

@@ -12,16 +12,15 @@ Reference behavior preserved:
     {map}_avg.nii files under {epoch:03d}_avg_model_recons/.
 
 TPU-first: device compute is one jitted maps-forward per batch; NIfTI writes
-are host-side.  Subject averages additionally accumulate in memory during
-the per-volume pass (numerically identical to re-reading the files, since
-the on-disk copies are the same float32 arrays we averaged).
+are host-side and asynchronous (writer thread pool overlapped with the next
+batch's device compute).
 """
 
 from __future__ import annotations
 
 import os
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, List
+from typing import List
 
 import numpy as np
 import pandas as pd
@@ -42,12 +41,9 @@ def reconstruct(trainer, loader, ref_niis: List[str], save_dirs: List[str]):
 
     Args mirror VAE.reconstruct (vae_reg_GP.py:585-594): ref_niis and
     save_dirs are indexed by the subject index found in each sample.
-    Returns {subj_idx: {key: running-sum map}} plus counts for averaging.
     """
     img_shape = tuple(trainer.config.img_shape)
     ref_imgs = {}
-    sums: Dict[int, Dict[str, np.ndarray]] = {}
-    counts: Dict[int, int] = {}
     with ThreadPoolExecutor(max_workers=_WRITER_THREADS) as pool:
         futures = []
         for sample in loader:
@@ -64,14 +60,8 @@ def reconstruct(trainer, loader, ref_niis: List[str], save_dirs: List[str]):
                 if subj_idx not in ref_imgs:
                     ref_imgs[subj_idx] = nifti.load(ref_niis[subj_idx])
                 ref = ref_imgs[subj_idx]
-                acc = sums.setdefault(
-                    subj_idx,
-                    {k: np.zeros(img_shape, np.float64) for k in MAP_KEYS},
-                )
-                counts[subj_idx] = counts.get(subj_idx, 0) + 1
                 for key in MAP_KEYS:
                     recon = maps[key][i].reshape(img_shape).astype(np.float32)
-                    acc[key] += recon
                     futures.append(pool.submit(
                         nifti.save,
                         nifti.Nifti1Image(recon, ref.affine, ref.header),
@@ -79,7 +69,6 @@ def reconstruct(trainer, loader, ref_niis: List[str], save_dirs: List[str]):
                     ))
         for f in futures:
             f.result()  # surface any write error
-    return sums, counts
 
 
 def mk_single_volumes(loader, trainer, csv_file: str, save_dir: str):
@@ -95,7 +84,7 @@ def mk_single_volumes(loader, trainer, csv_file: str, save_dir: str):
         )
         os.makedirs(subj_dir, exist_ok=True)
         subj_dirs.append(subj_dir)
-    return reconstruct(trainer, loader, ref_niis, subj_dirs)
+    reconstruct(trainer, loader, ref_niis, subj_dirs)
 
 
 def mk_avg_maps(csv_file: str, trainer, save_dir: str,

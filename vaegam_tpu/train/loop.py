@@ -39,6 +39,14 @@ from ..utils import tb
 from .checkpoint import checkpoint_filename, load_checkpoint, save_checkpoint
 
 
+def _dataset_len(loader) -> int:
+    """Loss-normalization denominator (reference: len(dataset), :430)."""
+    ds = getattr(loader, "dataset", None)
+    if ds is not None:
+        return len(ds)
+    return loader.num_samples  # array-backed DeviceResidentLoader
+
+
 class Trainer:
     """Owns params/opt_state/epoch and drives training (reference VAE class)."""
 
@@ -72,13 +80,9 @@ class Trainer:
         # gradients contain inf/NaN (the Cholesky VJP of a near-singular
         # gain covariance produces these in exactly the regime where the
         # reference hard-crashes) — healthy-step numerics are UNCHANGED.
-        tx = optax.adam(lr)
-        if grad_clip and grad_clip > 0:
-            tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
-        if skip_nonfinite_updates:
-            tx = optax.apply_if_finite(tx, max_consecutive_errors=100000)
         self.skip_nonfinite_updates = skip_nonfinite_updates
-        self.tx = tx
+        self.grad_clip = grad_clip
+        self.tx = self._build_tx()
         self.opt_state = self.tx.init(self.params)
         self.epoch = 0
         self.loss: Dict[str, Dict[int, float]] = {"train": {}, "test": {}}
@@ -105,6 +109,14 @@ class Trainer:
         self._eval_step = self._build_eval_step(return_maps=False)
         self._maps_step = self._build_eval_step(return_maps=True)
 
+    def _build_tx(self):
+        tx = optax.adam(self.lr)
+        if self.grad_clip and self.grad_clip > 0:
+            tx = optax.chain(optax.clip_by_global_norm(self.grad_clip), tx)
+        if self.skip_nonfinite_updates:
+            tx = optax.apply_if_finite(tx, max_consecutive_errors=100000)
+        return tx
+
     # ------------------------------------------------------------------ jit
     def _build_train_step(self):
         config, tx, consts = self.config, self.tx, self.consts
@@ -126,13 +138,21 @@ class Trainer:
         dispatch (gather + key split + fwd/bwd + update), which matters on
         remote-attached devices where every eager op pays tunnel latency.
         Numerics are identical to the plain step fed by the loader's gather.
+        Under a mesh the gathered batch is constrained to P('data') so the
+        fwd/bwd shards along the batch axis and XLA inserts the grad psum.
         """
         config, tx, consts = self.config, self.tx, self.consts
+        batch_sharding = self._batch_sharding
 
         def step(params, opt_state, key, vols, covs_all, idx):
             key, sub = jax.random.split(key)
             covariates = jnp.take(covs_all, idx, axis=0)
             x = jnp.take(vols, idx, axis=0)
+            if batch_sharding is not None:
+                covariates = jax.lax.with_sharding_constraint(
+                    covariates, batch_sharding
+                )
+                x = jax.lax.with_sharding_constraint(x, batch_sharding)
             (loss, aux), grads = jax.value_and_grad(forward, has_aux=True)(
                 params, consts, sub, covariates, x, config
             )
@@ -202,7 +222,7 @@ class Trainer:
             if skipped:
                 print(f"  [warn] {skipped} non-finite gradient step(s) "
                       "skipped so far (reference would have crashed here)")
-        train_loss /= len(train_loader.dataset)
+        train_loss /= _dataset_len(train_loader)
         print(f"Epoch: {self.epoch} Average loss: {train_loss:.4f}")
         self.epoch += 1
         return train_loss
@@ -230,7 +250,7 @@ class Trainer:
             if skipped:
                 print(f"  [warn] {skipped} non-finite gradient step(s) "
                       "skipped so far (reference would have crashed here)")
-        train_loss /= len(loader.dataset)
+        train_loss /= _dataset_len(loader)
         print(f"Epoch: {self.epoch} Average loss: {train_loss:.4f}")
         self.epoch += 1
         return train_loss
@@ -242,7 +262,7 @@ class Trainer:
             loss, _ = self._eval_step(self.params, self._next_key(), covs, x)
             losses.append(loss)
         test_loss = float(np.sum([np.asarray(l) for l in losses]))
-        test_loss /= len(test_loader.dataset)
+        test_loss /= _dataset_len(test_loader)
         print(f"Test loss: {test_loss:.4f}")
         return test_loss
 
@@ -250,8 +270,8 @@ class Trainer:
                    save_dir: str = ""):
         print("=" * 40)
         print("Training: epochs", self.epoch, "to", self.epoch + epochs - 1)
-        print("Training set:", len(loaders["Shuffled_train"].dataset))
-        print("Test set:", len(loaders["test"].dataset))
+        print("Training set:", _dataset_len(loaders["Shuffled_train"]))
+        print("Test set:", _dataset_len(loaders["test"]))
         print("=" * 40)
         for epoch in range(self.epoch, self.epoch + epochs):
             loss = self.train_epoch(loaders["Shuffled_train"])
@@ -347,6 +367,31 @@ class Trainer:
     def load_state(self, filename: str):
         state = load_checkpoint(filename, expect_z_dim=self.config.z_dim)
         as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+        # adopt the checkpoint's hyperparameter scalars, like the reference
+        # (vae_reg_GP.py:477-487): lr, gp_kl_scale, glm_reg_scale,
+        # inducing_pts.  A resume with different CLI flags would otherwise
+        # silently train at the new scales; any adoption is printed.
+        import dataclasses
+
+        cfg_changes = {}
+        for ckpt_key, cfg_key in (
+            ("gp_kl_scale", "gp_kl_scale"),
+            ("glm_reg_scale", "glm_reg_scale"),
+            ("inducing_pts", "num_inducing_pts"),
+        ):
+            val = state.get(ckpt_key)
+            if val is not None and val != getattr(self.config, cfg_key):
+                cfg_changes[cfg_key] = val
+        if cfg_changes:
+            print(f"[load_state] adopting checkpoint scalars over CLI/config "
+                  f"values: {cfg_changes}")
+            self.config = dataclasses.replace(self.config, **cfg_changes)
+        ckpt_lr = state.get("lr")
+        if ckpt_lr is not None and float(ckpt_lr) != self.lr:
+            print(f"[load_state] adopting checkpoint lr {ckpt_lr} "
+                  f"(was {self.lr})")
+            self.lr = float(ckpt_lr)
+            self.tx = self._build_tx()
         self.params = as_jnp(state["params"])
         # restore optimizer state with the correct pytree structure; a
         # structure mismatch (e.g. checkpoint written with a different
