@@ -18,6 +18,7 @@ import argparse
 import os
 import time
 
+import jax.numpy as jnp
 import pandas as pd
 
 from ..data import setup_data_loaders
@@ -95,6 +96,12 @@ def build_parser():
     parser.add_argument("--device_data_cache", type=str2bool, nargs="?",
                         const=True, default=True,
                         help="Upload the whole dataset to device HBM once and gather batches on device (falls back to the streaming loader for datasets over 4 GiB).")
+    parser.add_argument("--conv_dtype", choices=["float32", "bfloat16"],
+                        default="float32",
+                        help="Conv-stack activation/compute precision. float32 (default) is the reference-parity path; bfloat16 halves the memory-bound conv traffic (see docs/PERFORMANCE.md for the recovery study).")
+    parser.add_argument("--fused_norm_stats", type=str2bool, nargs="?",
+                        const=True, default=False,
+                        help="Joint decoder batch-norm statistics over the fused 9B decode instead of the reference's per-one-hot statistics. Default off (reference parity; required when reconstructing from imported torch checkpoints). Turning it on is measurably more stable on the synthetic control oracle (docs/CONTROL_EXPERIMENT.md).")
     return parser
 
 
@@ -154,6 +161,8 @@ def main(argv=None):
         glm_reg_scale=args.glm_reg_scale,
         neural_covariates=args.neural_covariates,
         qu_s_cholesky=args.qu_s_cholesky,
+        conv_dtype=(jnp.bfloat16 if args.conv_dtype == "bfloat16" else None),
+        fused_norm_stats=args.fused_norm_stats,
     )
     glm_maps = None
     if args.glm_maps:

@@ -111,15 +111,21 @@ def _bn_init(ch, dtype):
 # ---------------------------------------------------------------------------
 
 def _conv(x, p, stride, conv_dtype=None):
+    """conv_dtype=None: pure fp32 (parity path).  Otherwise x is ALREADY in
+    conv_dtype (the callers cast once at stack entry so inter-layer
+    activations stay low-precision — the conv stacks are memory-bound and
+    fp32 round-trips between layers would forfeit half the bandwidth win);
+    weights are cast per-call (the MXU accumulates in fp32 internally
+    either way), the fp32 bias-add promotes, and the result returns to
+    conv_dtype."""
     w = p["w"]
-    out_dtype = x.dtype
     if conv_dtype is not None:
-        x, w = x.astype(conv_dtype), w.astype(conv_dtype)
+        w = w.astype(conv_dtype)
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(stride,) * 3, padding="VALID",
         dimension_numbers=_DN,
     )
-    return y.astype(out_dtype) + p["b"]
+    return (y + p["b"]).astype(x.dtype)
 
 
 def _conv_t(x, p, stride, pad, outpad, ksize, conv_dtype=None):
@@ -140,27 +146,36 @@ def _conv_t(x, p, stride, pad, outpad, ksize, conv_dtype=None):
         (k - 1 - p_, k - 1 - p_ + op) for k, p_, op in zip(ksize, pad, outpad)
     )
     w = p["w"]
-    out_dtype = x.dtype
     if conv_dtype is not None:
-        x, w = x.astype(conv_dtype), w.astype(conv_dtype)
+        w = w.astype(conv_dtype)
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1, 1), padding=padding,
         lhs_dilation=(stride,) * 3, dimension_numbers=_DN,
     )
-    return y.astype(out_dtype) + p["b"]
+    return (y + p["b"]).astype(x.dtype)
 
 
-def _batch_stat_norm(x, p):
+def _batch_stat_norm(x, p, groups: int = 1):
     """Normalize with CURRENT batch statistics over (N,D,H,W), per channel.
 
     Equivalent to torch BatchNorm3d(track_running_stats=False) in both train
     and eval modes (biased variance).  reference vae_reg_GP.py:194-196,216-218.
+
+    groups > 1: statistics are computed per CONTIGUOUS group of N/groups
+    batch rows.  The reference runs the decoder once per one-hot covariate
+    (9 separate B-row batches, vae_reg_GP.py:330,343), so its norm stats
+    are per-group; our single (9B) fused decode must reproduce that — the
+    convs are batch-independent, only the norm statistics group.
+
+    Statistics are always accumulated in fp32 (a bf16 sum over ~10^5
+    elements loses ~3 digits); the normalized result returns to x.dtype.
     """
-    axes = (0, 1, 2, 3)
-    mean = jnp.mean(x, axis=axes, keepdims=True)
-    var = jnp.var(x, axis=axes, keepdims=True)
-    xn = (x - mean) * jax.lax.rsqrt(var + _BN_EPS)
-    return xn * p["scale"] + p["shift"]
+    xg = x.reshape(groups, -1, *x.shape[1:]).astype(jnp.float32)
+    axes = (1, 2, 3, 4)
+    mean = jnp.mean(xg, axis=axes, keepdims=True)
+    var = jnp.var(xg, axis=axes, keepdims=True)
+    xn = (xg - mean) * jax.lax.rsqrt(var + _BN_EPS)
+    return (xn * p["scale"] + p["shift"]).astype(x.dtype).reshape(x.shape)
 
 
 def _linear(x, p):
@@ -209,12 +224,15 @@ def encode(params, x, nf: int, conv_dtype=None):
     """
     cd = conv_dtype
     h = x[..., None]  # NDHWC with C=1
+    if cd is not None:
+        h = h.astype(cd)  # one downcast; activations stay cd across the stack
     h = _relu(_conv(_batch_stat_norm(h, params["bn1"]), params["conv1"], 1, cd))
     h = _relu(_conv(h, params["conv2"], 2, cd))
     h = _relu(_conv(_batch_stat_norm(h, params["bn3"]), params["conv3"], 1, cd))
     h = _relu(_conv(h, params["conv4"], 2, cd))
     h = _relu(_conv(_batch_stat_norm(h, params["bn5"]), params["conv5"], 1, cd))
     h = h.reshape(h.shape[0], -1)  # (B, 2nf*6*8*4) channel-last flatten
+    h = h.astype(x.dtype)  # FC stack + heads stay fp32
     h = _relu(_linear(h, params["fc1"]))
     h = _relu(_linear(h, params["fc2"]))
     mu = _linear(_relu(_linear(h, params["fc31"])), params["fc41"])
@@ -250,27 +268,35 @@ def init_decoder(key, nf: int, z_dim: int, dtype=jnp.float32,
 
 
 def decode(params, z, nf: int, conv_dtype=None,
-           img_shape=REFERENCE_IMG_SHAPE):
-    """z: (B*, z_dim) -> sigmoid volume flattened to (B*, prod(img_shape))."""
+           img_shape=REFERENCE_IMG_SHAPE, stat_groups: int = 1):
+    """z: (B*, z_dim) -> sigmoid volume flattened to (B*, prod(img_shape)).
+
+    stat_groups: number of contiguous batch groups for the batch-stat norms
+    (the fused 9B decode passes num_covariates+1 to reproduce the
+    reference's per-one-hot norm statistics — see _batch_stat_norm).
+    """
     cd = conv_dtype
+    sg = stat_groups
     seed, crop = decoder_seed_shape(img_shape)
     h = _relu(_linear(z, params["fc5"]))
     h = _relu(_linear(h, params["fc6"]))
     h = _relu(_linear(h, params["fc7"]))
     h = _relu(_linear(h, params["fc8"]))
     h = h.reshape(-1, *seed, 2 * nf)
-    h = _relu(_conv_t(_batch_stat_norm(h, params["bnt1"]), params["convt1"],
+    if cd is not None:
+        h = h.astype(cd)  # one downcast; activations stay cd across the stack
+    h = _relu(_conv_t(_batch_stat_norm(h, params["bnt1"], sg), params["convt1"],
                       1, (0, 0, 0), (0, 0, 0), (3, 3, 3), cd))
     h = _relu(_conv_t(h, params["convt2"], 2, (1, 0, 1), (1, 0, 1),
                       (3, 3, 3), cd))
-    h = _relu(_conv_t(_batch_stat_norm(h, params["bnt3"]), params["convt3"],
+    h = _relu(_conv_t(_batch_stat_norm(h, params["bnt3"], sg), params["convt3"],
                       1, (0, 0, 0), (0, 0, 0), (3, 3, 3), cd))
     h = _relu(_conv_t(h, params["convt4"], 2, (0, 0, 0), (0, 0, 0),
                       (5, 3, 3), cd))
-    h = _conv_t(_batch_stat_norm(h, params["bnt5"]), params["convt5"],
+    h = _conv_t(_batch_stat_norm(h, params["bnt5"], sg), params["convt5"],
                 1, (0, 0, 0), (0, 0, 0), (3, 3, 3), cd)
     if any(crop):
         h = h[:, : h.shape[1] - crop[0], : h.shape[2] - crop[1],
               : h.shape[3] - crop[2], :]
-    h = jax.nn.sigmoid(h)
+    h = jax.nn.sigmoid(h.astype(jnp.float32))  # loglik consumes fp32 maps
     return h.reshape(h.shape[0], -1)  # (B*, prod(img_shape))

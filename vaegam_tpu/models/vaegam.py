@@ -87,6 +87,13 @@ class VAEGAMConfig:
     # default — the raw-matrix parameterization is the reference's observable
     # behavior (incl. its instability + diagnostics dump).
     qu_s_cholesky: bool = False
+    # decoder batch-stat-norm grouping for the fused 9B decode.  False
+    # (default) = per-one-hot statistics, matching the reference's 9
+    # separate B-row decoder calls (required for 1e-3 map parity).  True =
+    # joint statistics over all 9B rows — a deliberate deviation measured
+    # to train MORE stably on the control oracle (the normalization then
+    # couples the base/effect groups, damping per-group scale drift).
+    fused_norm_stats: bool = False
 
     @property
     def z_dim(self) -> int:
@@ -246,8 +253,13 @@ def forward(
     zcat = jnp.concatenate([zb, ohb], axis=-1).reshape(
         (n_cov + 1) * b, config.z_dim
     )
+    # stat_groups: the reference decodes each one-hot group separately, so
+    # its decoder batch-stat norms see B rows at a time; the fused 9B decode
+    # computes per-group statistics to match (networks._batch_stat_norm)
+    # unless config.fused_norm_stats deliberately opts into joint stats
     decoded = decode(
-        params["dec"], zcat, config.nf, config.conv_dtype, config.img_shape
+        params["dec"], zcat, config.nf, config.conv_dtype, config.img_shape,
+        stat_groups=1 if config.fused_norm_stats else n_cov + 1,
     ).reshape(n_cov + 1, b, config.img_dim)
     base, diffs = decoded[0], decoded[1:]                         # (B,D), (C,B,D)
 
