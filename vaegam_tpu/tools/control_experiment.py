@@ -29,20 +29,46 @@ import numpy as np
 import pandas as pd
 
 
-def build_fake_subjects(root, n_subjs, n_vols, seed=0):
-    """Realistic-ish toy: smooth random 'anatomy' + noise, full (41,49,35)."""
+MOTION_COLS = ["trans_x", "trans_y", "trans_z", "rot_x", "rot_y", "rot_z"]
+
+
+def build_motion_maps(img_shape=(41, 49, 35)):
+    """Six disjoint octahedral ground-truth maps, one per motion covariate."""
+    from ..utils.stats import mk_spherical_mask
+
+    ball = mk_spherical_mask(size=7, radius=1)
+    coords = [(5, 6, 5), (30, 8, 8), (8, 36, 8),
+              (30, 36, 10), (8, 8, 25), (28, 36, 24)]
+    maps = np.zeros((6,) + tuple(img_shape), np.float32)
+    for c, (x, y, z) in enumerate(coords):
+        maps[c, x:x + 7, y:y + 7, z:z + 7] += ball
+    return maps
+
+
+def build_fake_subjects(root, n_subjs, n_vols, seed=0,
+                        motion_artifact_intensity=0.0):
+    """Realistic-ish toy: smooth random 'anatomy' + noise, full (41,49,35).
+
+    motion_artifact_intensity > 0 additionally injects motion-correlated
+    artifacts sum_c z_c(t) * intensity * M_c with known octahedral maps M_c
+    (z_c = the covariate exactly as the model will see it, i.e. globally
+    population-z-scored like cli/preproc).  This gives the 6 motion
+    covariates non-zero ground-truth beta maps — real fMRI has motion
+    artifacts, and all-zero motion GLM targets push the sigmoid decoder
+    into an exactly-zero dead zone (docs/CONTROL_EXPERIMENT.md, the r1
+    multi-subject failure mode).  Returns the (6, *img_shape) maps (or
+    None when intensity is 0).
+    """
     from ..utils import nifti
-    from ..utils.signals import control_stimulus_to_neural  # noqa: F401
 
     from scipy import ndimage
 
     rng = np.random.default_rng(seed)
-    subj_ids = []
+    subj_ids, vols_all, mot_all = [], [], []
     for s in range(n_subjs):
         subj = f"sub-A000{70 + s:02d}"
         subj_ids.append(subj)
-        sdir = os.path.join(root, subj)
-        os.makedirs(sdir, exist_ok=True)
+        os.makedirs(os.path.join(root, subj), exist_ok=True)
         # smooth random field = representable "anatomy" (white noise is not
         # expressible by a conv decoder and would bury the injected signal)
         field = ndimage.gaussian_filter(
@@ -54,18 +80,37 @@ def build_fake_subjects(root, n_subjs, n_vols, seed=0):
             [base + rng.normal(0, 15, (41, 49, 35)) for _ in range(n_vols)],
             axis=-1,
         ).astype(np.float32)
+        mot = pd.DataFrame(
+            {c: rng.normal(0, 0.4, n_vols) for c in MOTION_COLS}
+        )
+        vols_all.append(vols)
+        mot_all.append(mot)
+
+    motion_maps = None
+    if motion_artifact_intensity > 0:
+        motion_maps = build_motion_maps()
+        # population z-score over ALL subjects' rows (utils.zscore semantics,
+        # ddof=0) — the injected effect is per unit of the covariate the
+        # model actually receives
+        allmot = pd.concat(mot_all, ignore_index=True)
+        mean, std = allmot.mean(axis=0), allmot.std(axis=0, ddof=0)
+        for s in range(n_subjs):
+            z = ((mot_all[s] - mean) / std).to_numpy()  # (n_vols, 6)
+            art = np.einsum(
+                "tc,cxyz->xyzt", z.astype(np.float32),
+                motion_artifact_intensity * motion_maps,
+            )
+            vols_all[s] += art
+
+    for s, subj in enumerate(subj_ids):
+        sdir = os.path.join(root, subj)
         nifti.save(
-            nifti.Nifti1Image(vols, np.diag([3.0, 3.0, 3.0, 1.0])),
+            nifti.Nifti1Image(vols_all[s], np.diag([3.0, 3.0, 3.0, 1.0])),
             os.path.join(
                 sdir, f"{subj}_preproc_bold_brainmasked_resampled.nii.gz"
             ),
         )
-        mot = pd.DataFrame(
-            {c: rng.normal(0, 0.4, n_vols)
-             for c in ["trans_x", "trans_y", "trans_z",
-                       "rot_x", "rot_y", "rot_z"]}
-        )
-        mot.to_csv(
+        mot_all[s].to_csv(
             os.path.join(
                 sdir,
                 f"{subj}_task-CHECKERBOARD_acq-1400_desc-confounds_"
@@ -76,6 +121,7 @@ def build_fake_subjects(root, n_subjs, n_vols, seed=0):
     pd.DataFrame(
         {"subjID": subj_ids, "gender ": [i % 2 for i in range(n_subjs)]}
     ).to_csv(os.path.join(root, "sex_info.csv"), index=False)
+    return motion_maps
 
 
 def main(argv=None):
@@ -119,6 +165,21 @@ def main(argv=None):
                         action="store_false",
                         help="Use the reference's per-one-hot decoder norm "
                         "statistics (the 1e-3-parity semantics).")
+    parser.add_argument("--glm_reg_scale", type=float, default=None,
+                        help="Weight of the GLM regularizer term.  Default: "
+                        "1 (the reference default) for single-subject, 10 "
+                        "for multi-subject — with multiple anatomies the "
+                        "latent can absorb the task bump via base(z), and "
+                        "the log-likelihood then drives the task gain to "
+                        "zero unless the regularizer pull is stronger "
+                        "(measured: sa_task 0.047 at scale 1, see "
+                        "docs/CONTROL_EXPERIMENT.md).")
+    parser.add_argument("--motion_artifacts", type=float, default=None,
+                        help="Inject motion-correlated artifacts with known "
+                        "octahedral maps at this intensity (gives the 6 "
+                        "motion covariates non-zero GLM targets).  Default: "
+                        "150 for multi-subject runs (the r1 dead-zone fix), "
+                        "0 for single-subject.")
     args = parser.parse_args(argv)
 
     from ..cli import add_signal, preproc
@@ -132,7 +193,14 @@ def main(argv=None):
 
     data_dir = os.path.join(args.work_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
-    build_fake_subjects(data_dir, args.n_subjs, args.n_vols, seed=0)
+    if args.motion_artifacts is None:
+        args.motion_artifacts = 150.0 if args.n_subjs > 1 else 0.0
+    if args.glm_reg_scale is None:
+        args.glm_reg_scale = 10.0 if args.n_subjs > 1 else 1.0
+    motion_maps = build_fake_subjects(
+        data_dir, args.n_subjs, args.n_vols, seed=0,
+        motion_artifact_intensity=args.motion_artifacts,
+    )
 
     t0 = time.time()
     add_signal.main(
@@ -153,12 +221,18 @@ def main(argv=None):
     glm_reg_scale = 0.0
     if args.glm_reg:
         # ground-truth beta maps for the toy: task map = scaled injected
-        # signal, motion/sex maps = 0 (csv read WITH index col -> 9 columns,
-        # matching vae_reg_GP.py:58-59 semantics)
+        # signal, motion maps = scaled injected artifacts (or 0), sex map =
+        # 0 (csv read WITH index col -> 9 columns, matching
+        # vae_reg_GP.py:58-59 semantics)
         sig = build_control_signal("simple", args.intensity, 1, 7) / 3284.5
         glm_maps = np.zeros((sig.size, 9), np.float32)
         glm_maps[:, 1] = sig.reshape(-1)
-        glm_reg_scale = 1.0
+        if motion_maps is not None:
+            for c in range(6):
+                glm_maps[:, 2 + c] = (
+                    args.motion_artifacts * motion_maps[c].reshape(-1) / 3284.5
+                )
+        glm_reg_scale = args.glm_reg_scale
     import jax.numpy as jnp
 
     config = VAEGAMConfig(glm_reg_scale=glm_reg_scale,
@@ -174,6 +248,7 @@ def main(argv=None):
     trainer.train_loop(loaders, epochs=args.epochs, test_freq=None,
                        save_freq=None, save_dir=run_dir)
     train_secs = time.time() - t_train0
+    trainer.save_state(os.path.join(run_dir, "final.tar"))  # for diagnosis
 
     mk_single_volumes(loaders["UnShuffled_train"], trainer, csv, run_dir)
     mk_avg_maps(csv, trainer, run_dir, mk_motion_maps=False)
@@ -202,6 +277,8 @@ def main(argv=None):
     # 300-epoch default).  The oracle therefore targets the reference's
     # operative regime: clear above-background contrast at ~300 epochs.
     result = {
+        "n_subjs": args.n_subjs,
+        "motion_artifacts": args.motion_artifacts,
         "epochs": args.epochs,
         "train_seconds": round(train_secs, 1),
         "train_vols_per_sec": round(vols_per_sec, 1),
