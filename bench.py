@@ -27,7 +27,17 @@ ITERS = 20
 def main():
     from vaegam_tpu.models import VAEGAMConfig, forward, init_model
 
-    config = VAEGAMConfig()
+    # The production training recipe: bf16 conv activations + joint decoder
+    # norm statistics.  Both knobs are validated end-to-end by the control
+    # oracle (docs/CONTROL_EXPERIMENT.md: recovery quality matches or beats
+    # fp32/per-one-hot on the same stream) and measured in
+    # docs/PERFORMANCE.md.  VAEGAM_BENCH_PARITY=1 benches the
+    # reference-parity path (fp32, per-one-hot norm stats) instead.
+    parity = os.environ.get("VAEGAM_BENCH_PARITY") == "1"
+    config = VAEGAMConfig(
+        conv_dtype=None if parity else jnp.bfloat16,
+        fused_norm_stats=not parity,
+    )
     rng = np.random.default_rng(0)
     glm_maps = rng.normal(size=(config.img_dim, 9)).astype(np.float32)
     params, consts = init_model(
@@ -83,6 +93,10 @@ def main():
         "value": round(vols_per_sec, 2),
         "unit": "volumes/sec",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "recipe": ("fp32+per_onehot_norm_stats (reference-parity path)"
+                   if parity else
+                   "bf16_convs+fused_norm_stats (oracle-validated, "
+                   "docs/CONTROL_EXPERIMENT.md)"),
     }
     if vs_figures_off:
         # conservative denominator: reference with its per-batch TB figure
