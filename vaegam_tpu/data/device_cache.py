@@ -74,14 +74,18 @@ class DeviceResidentLoader:
         self.batch_sharding = (
             NamedSharding(mesh, P("data")) if mesh is not None else None
         )
+        vols_np = np.asarray(host["volume"], np.float32)
+        covs_np = np.asarray(host["covariates"], np.float32)
         if mesh is not None:
             # replicate the cached dataset so per-batch gathers stay local
             repl = NamedSharding(mesh, P())
-            self._vols = jax.device_put(jnp.asarray(host["volume"]), repl)
-            self._covs = jax.device_put(jnp.asarray(host["covariates"]), repl)
+            self._vols = jax.device_put(vols_np, repl)
+            self._covs = jax.device_put(covs_np, repl)
         else:
-            self._vols = jnp.asarray(host["volume"])
-            self._covs = jnp.asarray(host["covariates"])
+            # device_put's DMA path — jnp.asarray routes through eager-op
+            # machinery, ~60x slower on a tunnel-attached chip
+            self._vols = jax.device_put(vols_np)
+            self._covs = jax.device_put(covs_np)
         self._subjid = host["subjid"]
         self._vol_nums = host["vol_num"]
         # eager per-batch take() pays full dispatch overhead per op (severe
@@ -151,7 +155,9 @@ class DeviceResidentLoader:
 
     def __iter__(self) -> Iterator[dict]:
         for sel in self.iter_index_batches():
-            vols, covs = self._gather(self._vols, self._covs, jnp.asarray(sel))
+            # numpy sel enters the jitted gather via the fast arg-transfer
+            # path (eager jnp.asarray pays a tunnel dispatch per batch)
+            vols, covs = self._gather(self._vols, self._covs, np.asarray(sel))
             yield {
                 "volume": vols,
                 "covariates": covs,
