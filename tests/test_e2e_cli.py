@@ -110,6 +110,26 @@ def test_train_cli_end_to_end(pipeline, tmp_path_factory):
     globals()["_E2E_SAVE_DIR"] = save_dir
 
 
+def test_train_cli_data_parallel(tmp_path_factory):
+    """The configs[4] north-star path THROUGH THE CLI: --data_parallel with
+    the default device cache on the virtual 8-device mesh (conftest).  The
+    mesh must be built before the loaders so batches land P('data')-sharded
+    and the gather-fused step shards the batch axis."""
+    csv = globals()["_E2E_CSV"]
+    save_dir = str(tmp_path_factory.mktemp("dp_out"))
+    train_cli.main(
+        ["--train_csv", csv, "--test_csv", csv, "--save_dir", save_dir,
+         "--batch-size", "16", "--epochs", "2", "--seed", "1",
+         "--save_freq", "1", "--test_freq", "1", "--split", "8",
+         "--glm_reg_scale", "0.0", "--neural_covariates", "False",
+         "--nf", "2", "--num_latents", "8", "--data_parallel", "True",
+         "--recons_only", "False"]
+    )
+    assert os.path.exists(os.path.join(save_dir, "checkpoint_001.tar"))
+    recon_dir = os.path.join(save_dir, "reconstructions", "002_model_recons")
+    assert len(os.listdir(recon_dir)) == 2
+
+
 @pytest.mark.slow
 def test_recons_only_from_checkpoint(tmp_path_factory):
     csv = globals()["_E2E_CSV"]
