@@ -124,3 +124,26 @@ def test_scale_beta_maps():
     out = scale_beta_maps(maps.copy())
     np.testing.assert_allclose(out[0], [0.25, 0.5, 1.0])
     np.testing.assert_allclose(out[1], [-0.5, 1.0, 0.5])
+
+
+def test_latent_projection_backend_chain():
+    """C6h projection fallbacks (umap-learn absent in env): spectral
+    embedding of the n_neighbors=20 kNN graph (UMAP's own init) for real
+    datasets, deterministic, cluster-preserving; PCA for tiny inputs."""
+    import numpy as np
+
+    from vaegam_tpu.outputs.latents import _project_2d
+
+    rng = np.random.default_rng(0)
+    x = np.concatenate(
+        [rng.normal(0, 1, (60, 32)), rng.normal(6, 1, (60, 32))]
+    )
+    p1 = _project_2d(x)
+    p2 = _project_2d(x)
+    assert p1.shape == (120, 2)
+    np.testing.assert_array_equal(p1, p2)  # deterministic
+    # the two latent clusters stay separated in the 2D projection
+    gap = np.linalg.norm(p1[:60].mean(0) - p1[60:].mean(0))
+    assert gap > 1.0 * p1.std()
+    # tiny input: degenerate kNN graph -> PCA fallback
+    assert _project_2d(rng.normal(size=(10, 32))).shape == (10, 2)

@@ -3,10 +3,17 @@
 Encodes the full UnShuffled_train set (posterior means only), projects to
 2D, and scatters per-subject chunks of ``split`` volumes.
 
-Projection backend: umap-learn if installed (UMAP(n_components=2,
-n_neighbors=20, min_dist=0.1, random_state=42) — the reference's exact
-settings); otherwise a deterministic sklearn PCA fallback (documented: this
-environment ships without umap-learn).
+Projection backend chain (umap-learn is not installable in this
+environment, so the closest available neighbor-graph method substitutes):
+
+  1. umap-learn if installed — UMAP(n_components=2, n_neighbors=20,
+     min_dist=0.1, random_state=42), the reference's exact settings;
+  2. sklearn SpectralEmbedding on the same n_neighbors=20 kNN graph —
+     this is literally UMAP's own initialization (the graph Laplacian
+     eigenmap of the fuzzy-neighbor graph), so cluster structure renders
+     comparably; deterministic via random_state=42;
+  3. PCA as the last-resort linear fallback (tiny inputs where a kNN
+     graph is degenerate).
 """
 
 from __future__ import annotations
@@ -36,9 +43,25 @@ def _project_2d(latent: np.ndarray) -> np.ndarray:
         )
         return transform.fit_transform(latent)
     except ImportError:
-        from sklearn.decomposition import PCA
+        pass
+    # UMAP's own initialization: spectral embedding of the kNN graph,
+    # with the reference's neighborhood size
+    if len(latent) > 25:
+        try:
+            from sklearn.manifold import SpectralEmbedding
 
-        return PCA(n_components=2, random_state=42).fit_transform(latent)
+            emb = SpectralEmbedding(
+                n_components=2, n_neighbors=min(20, len(latent) - 1),
+                random_state=42,
+            )
+            out = emb.fit_transform(latent)
+            if np.all(np.isfinite(out)):
+                return out
+        except Exception:
+            pass  # degenerate graph -> linear fallback below
+    from sklearn.decomposition import PCA
+
+    return PCA(n_components=2, random_state=42).fit_transform(latent)
 
 
 def project_latent(trainer, loaders_dict, save_dir, title=None, split=98):
