@@ -75,47 +75,47 @@ def main(argv=None):
         "Could not find any subjID matching expected pattern on root dir."
     )
 
-    feat_dirs = []
-    for subj in subjs:
-        subj_dir = os.path.join(args.root_dir, subj)
-        for feat_dir in Path(subj_dir).rglob("*_corrected.feat"):
-            feat_dirs.append(str(feat_dir))
+    feat_dirs = [
+        str(d)
+        for subj in subjs
+        for d in Path(os.path.join(args.root_dir, subj)).rglob(
+            "*_corrected.feat"
+        )
+    ]
     assert len(subjs) == len(feat_dirs), "Not all subjs have .feat directories!"
 
-    all_subjs_data = []
-    for i, subj in enumerate(subjs):
-        fpath = os.path.join(feat_dirs[i], "filtered_func_data.nii.gz")
-        assert os.path.exists(fpath), (
+    # one pass per subject: (T, 7) design block [task | 6 motion] and the
+    # (voxels, T) filtered BOLD block; stacked time-wise across subjects
+    n_t = data_dims[3]
+    design_blocks, bold_blocks = [], []
+    for subj, feat in zip(subjs, feat_dirs):
+        bold_path = os.path.join(feat, "filtered_func_data.nii.gz")
+        assert os.path.exists(bold_path), (
             f"Failed to find filtered data for subj {subj}"
         )
-        subj_filtered = np.array(nifti.load(fpath).dataobj).reshape(
-            -1, data_dims[3]
+        bold_blocks.append(
+            np.asarray(nifti.load(bold_path).dataobj).reshape(-1, n_t)
         )
-        all_subjs_data.append(subj_filtered)
-    filtered_data = np.concatenate(all_subjs_data, axis=1)
-
-    all_dms = []
-    for i, subj in enumerate(subjs):
-        mpath = os.path.join(feat_dirs[i], "design.mat")
-        assert os.path.exists(mpath), (
+        dm_path = os.path.join(feat, "design.mat")
+        assert os.path.exists(dm_path), (
             f"Failed to find design matrix for subj {subj}"
         )
-        subj_mat = read_design_mat(mpath)
-        task_col = subj_mat[:, 0].reshape((data_dims[3], 1))
-        mot_cols = subj_mat[:, -6:]
-        all_dms.append(np.concatenate((task_col, mot_cols), axis=1))
-    gamma = np.concatenate(all_dms, axis=0)
+        dm = read_design_mat(dm_path)
+        design_blocks.append(
+            np.column_stack([dm[:, 0].reshape(n_t), dm[:, -6:]])
+        )
 
-    beta_maps = solve_beta_maps(gamma, filtered_data)
+    beta_maps = solve_beta_maps(
+        np.concatenate(design_blocks, axis=0),       # (sum_T, 7)
+        np.concatenate(bold_blocks, axis=1),         # (voxels, sum_T)
+    )
 
-    sex_map = np.array(nifti.load(args.sex_covars_map).dataobj)
-    sex_map = np.expand_dims(sex_map.flatten(), axis=0)
-    beta_maps = np.concatenate([beta_maps, sex_map], axis=0)
+    sex_map = np.asarray(nifti.load(args.sex_covars_map).dataobj)
+    with_sex = np.vstack([beta_maps, sex_map.reshape(1, -1)])
 
-    scld_beta_maps = scale_beta_maps(beta_maps)
     out = os.path.join(args.output_dir, "scld_GLM_beta_maps.csv")
     pd.DataFrame(
-        scld_beta_maps.T,
+        scale_beta_maps(with_sex).T,
         columns=["task", "x", "y", "z", "xrot", "yrot", "zrot", "sex"],
     ).to_csv(out)
     print(out)
