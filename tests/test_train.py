@@ -127,3 +127,78 @@ def test_load_state_adopts_checkpoint_scalars(setup, tmp_path, capsys):
     capsys.readouterr()
     t3.load_state(ckpt)
     assert "adopting" not in capsys.readouterr().out
+
+
+def test_fused_epoch_periodic_figure_logging(setup, tmp_path):
+    """Sampled per-batch TB figures (reference: EVERY batch,
+    vae_reg_GP.py:333-337) work on the gather-fused fast path: figure
+    batches are re-gathered with the loader's jitted gather while the
+    train steps stay single-dispatch."""
+    train, _, xu_ranges = setup
+    from vaegam_tpu.data import setup_device_loaders
+
+    loaders = setup_device_loaders(batch_size=4, train_csv=train,
+                                   test_csv=train)
+    config = VAEGAMConfig(nf=2, num_latents=8)
+    trainer = Trainer(config, xu_ranges, glm_maps=None,
+                      save_dir=str(tmp_path), enable_tb=True,
+                      log_figs_every=2)
+    assert trainer._figs_enabled
+    trainer.train_loop(loaders, epochs=1, test_freq=None, save_freq=None,
+                       save_dir=str(tmp_path))
+    run_dir = os.path.join(str(tmp_path), "run")
+    events = [os.path.join(dp, f) for dp, _, fns in os.walk(run_dir)
+              for f in fns if "tfevents" in f]
+    assert events, "no TB event files written"
+    # the map/beta figure tags landed (not just scalars)
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+    acc = EventAccumulator(os.path.dirname(events[0]))
+    acc.Reload()
+    tags = acc.Tags()
+    figure_tags = tags["images"] + [t.rsplit("/", 1)[0]
+                                    for t in tags["tensors"]]
+    assert any("map" in t or "Beta" in t or "base" in t
+               for t in figure_tags), tags
+
+
+def test_x64_epsilon_mode(setup, tmp_path):
+    """Opt-in fp64 epsilon (reference vae_reg_GP.py:54): storage/Adam in
+    float64, log-likelihood cast down to fp32 (its .float(), :402).
+    Subprocess: jax x64 is a global switch that must not leak into the
+    suite."""
+    import subprocess
+    import sys
+    import textwrap
+
+    train, _, _ = setup
+    code = textwrap.dedent(f"""
+        import jax
+        jax.config.update("jax_enable_x64", True)
+        import jax.numpy as jnp
+        import numpy as np
+        from vaegam_tpu.data import setup_data_loaders
+        from vaegam_tpu.models import VAEGAMConfig
+        from vaegam_tpu.train import Trainer
+        from vaegam_tpu.utils.stats import get_xu_ranges
+
+        loaders = setup_data_loaders(batch_size=4, train_csv={train!r},
+                                     test_csv={train!r})
+        config = VAEGAMConfig(nf=2, num_latents=8, x64_epsilon=True)
+        t = Trainer(config, get_xu_ranges([{train!r}] * 2), glm_maps=None,
+                    save_dir={str(tmp_path)!r}, enable_tb=False)
+        assert t.params["epsilon"].dtype == jnp.float64, t.params["epsilon"].dtype
+        assert t.params["enc"]["conv1"]["w"].dtype == jnp.float32
+        loss = t.train_epoch(loaders["Shuffled_train"])
+        assert np.isfinite(loss), loss
+        # Adam kept epsilon (and its moments) in fp64 through the update
+        assert t.params["epsilon"].dtype == jnp.float64
+        print("X64_OK")
+    """)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=600, env=env,
+                         cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "X64_OK" in out.stdout

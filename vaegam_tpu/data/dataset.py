@@ -96,8 +96,7 @@ class FMRIDataset:
 
     def gather(self, idxs: np.ndarray) -> Dict[str, np.ndarray]:
         """Materialize one batch as stacked arrays (one device_put later)."""
-        vols = np.empty((len(idxs),) + self[0]["volume"].shape, np.float32) \
-            if len(idxs) else np.empty((0, 0, 0, 0), np.float32)
+        vols = np.empty((len(idxs),) + self[0]["volume"].shape, np.float32)
         for k, i in enumerate(idxs):
             fmri = self._cache.get(self._nii_paths[i])
             vols[k] = fmri[:, :, :, self._vol_nums[i]]
@@ -141,6 +140,15 @@ class DataLoader:
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
+
+    @property
+    def num_samples(self) -> int:
+        """GLOBAL sample count — the reference's loss denominator
+        (len(dataset), vae_reg_GP.py:430).  Deliberately NOT the local row
+        count under shard_index/num_shards: sharded loaders report a
+        globally-normalized partial loss so every loader kind normalizes by
+        the same number (see train/loop.py:_dataset_len)."""
+        return len(self.dataset)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self._rows.copy()

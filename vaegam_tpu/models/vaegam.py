@@ -87,6 +87,15 @@ class VAEGAMConfig:
     # default — the raw-matrix parameterization is the reference's observable
     # behavior (incl. its instability + diagnostics dump).
     qu_s_cholesky: bool = False
+    # opt-in fp64 epsilon (reference parity knob: vae_reg_GP.py:54 stores
+    # the per-voxel log-precision in torch.float64 and Adam updates it in
+    # fp64; :402 casts it DOWN to fp32 for the log-likelihood).  The measured
+    # impact bound is tiny (tools/epsilon_precision_study.py: <=9.5e-4 drift
+    # over 20 steps; the 10 maps are structurally epsilon-independent), so
+    # fp32 is the TPU-native default — TPUs have no native f64 and XLA:TPU
+    # rejects it, so this flag is for CPU parity studies.  Requires
+    # jax_enable_x64 (JAX_ENABLE_X64=1 or --x64_epsilon in the CLI).
+    x64_epsilon: bool = False
     # decoder batch-stat-norm grouping for the fused 9B decode.  False
     # (default) = per-one-hot statistics, matching the reference's 9
     # separate B-row decoder calls (required for 1e-3 map parity).  True =
@@ -117,6 +126,19 @@ class VAEGAMConfig:
 def hrf_kernel(dtype=jnp.float32) -> jnp.ndarray:
     """HRF sampled at TR resolution over a 20 s window (vae_reg_GP.py:292)."""
     return jnp.asarray(hrf(np.arange(0.0, HRF_WINDOW_SECONDS, TR_SECONDS)), dtype)
+
+
+def _epsilon_dtype(config: VAEGAMConfig, dt):
+    """fp64 storage for epsilon under x64_epsilon (vae_reg_GP.py:54)."""
+    if not config.x64_epsilon:
+        return dt
+    if not jax.config.jax_enable_x64:
+        raise ValueError(
+            "x64_epsilon requires jax_enable_x64 (set JAX_ENABLE_X64=1 or "
+            "pass --x64_epsilon to the CLI, which enables it); note TPUs "
+            "have no native f64 — this is a CPU parity-study mode"
+        )
+    return jnp.float64
 
 
 def init_model(
@@ -162,7 +184,8 @@ def init_model(
                             config.img_shape),
         "dec": init_decoder(k_dec, config.nf, config.z_dim, dt,
                             config.img_shape),
-        "epsilon": jnp.full(config.img_shape, -np.log(10.0), dt),
+        "epsilon": jnp.full(config.img_shape, -np.log(10.0),
+                            _epsilon_dtype(config, dt)),
         "gp": gp_bank,
     }
     xu = jnp.stack(
@@ -324,7 +347,10 @@ def forward(
 
     # --- ELBO ----------------------------------------------------------------
     kl_z = lowrank_mvn_kl_to_std_normal(mu, u, d)                 # (B,)
-    obs_scale = jnp.exp(-params["epsilon"]).reshape(-1)           # (D,)
+    # the reference casts its (possibly fp64) epsilon DOWN to fp32 for the
+    # log-likelihood (.float(), vae_reg_GP.py:402); storage/Adam stay fp64
+    # under x64_epsilon
+    obs_scale = jnp.exp(-params["epsilon"].astype(x.dtype)).reshape(-1)  # (D,)
     log_prob = jnp.sum(
         normal_log_prob(x.reshape(b, -1), x_rec, obs_scale[None, :]), axis=-1
     )

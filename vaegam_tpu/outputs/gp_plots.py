@@ -29,9 +29,13 @@ MOTION_KEYS = ["x", "y", "z", "xrot", "yrot", "zrot"]
 
 
 def plot_GPs(trainer, csv_file: str = "", save_dir: str = ""):
+    # GP params are replicated; every process runs the (replicated-only)
+    # posterior eval, but only main writes the CSVs/PDFs
+    write_files = jax.process_index() == 0
     outdir_name = str(trainer.epoch).zfill(3) + "_GP_plots"
     plot_dir = os.path.join(save_dir, outdir_name)
-    os.makedirs(plot_dir, exist_ok=True)
+    if write_files:
+        os.makedirs(plot_dir, exist_ok=True)
 
     data = pd.read_csv(csv_file)
     all_covariates = data[MOTION_CSV_COLS].to_numpy()
@@ -55,6 +59,8 @@ def plot_GPs(trainer, csv_file: str = "", save_dir: str = ""):
             std[cov_idx] ** 2 * np.asarray(xq) ** 2
             + np.diag(np.asarray(sigma))
         )
+        if not write_files:
+            continue
         frame = pd.DataFrame(
             {
                 "xq": all_covariates[:, j],

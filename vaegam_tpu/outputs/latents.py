@@ -69,7 +69,17 @@ def project_latent(trainer, loaders_dict, save_dir, title=None, split=98):
     file_path = os.path.join(save_dir, filename)
 
     nf = trainer.config.nf
-    enc = jax.jit(lambda p, x: encode(p, x, nf)[0])
+    repl = getattr(trainer, "_replicated", None)
+
+    def _enc(p, x):
+        mu = encode(p, x, nf)[0]
+        if repl is not None:
+            # multi-process: the host-side UMAP below needs the full latent
+            # set on every controller
+            mu = jax.lax.with_sharding_constraint(mu, repl)
+        return mu
+
+    enc = jax.jit(_enc)
     chunks = []
     for sample in loaders_dict["UnShuffled_train"]:
         _, x = trainer._put_batch(sample)
@@ -77,6 +87,8 @@ def project_latent(trainer, loaders_dict, save_dir, title=None, split=98):
     latent = np.concatenate(chunks, axis=0)
 
     projection = _project_2d(latent)
+    if jax.process_index() != 0:
+        return latent, projection  # one plot writer per shared FS
 
     c_list = ["b", "g", "r", "c", "m", "y", "k", "orange", "blueviolet",
               "hotpink", "lime", "skyblue", "teal", "sienna"]

@@ -42,8 +42,14 @@ def reconstruct(trainer, loader, ref_niis: List[str], save_dirs: List[str]):
     Args mirror VAE.reconstruct (vae_reg_GP.py:585-594): ref_niis and
     save_dirs are indexed by the subject index found in each sample.
     """
+    import jax
+
     img_shape = tuple(trainer.config.img_shape)
     ref_imgs = {}
+    # multi-process: every process runs the (collective) maps forward —
+    # eval outputs are gathered to replicated inside the jitted step — but
+    # only the main process writes files (one writer per shared FS)
+    write_files = jax.process_index() == 0
     with ThreadPoolExecutor(max_workers=_WRITER_THREADS) as pool:
         futures = []
         for sample in loader:
@@ -51,6 +57,8 @@ def reconstruct(trainer, loader, ref_niis: List[str], save_dirs: List[str]):
             _, aux = trainer._maps_step(
                 trainer.params, trainer._next_key(), covs, x
             )
+            if not write_files:
+                continue
             maps = {k: np.asarray(v) for k, v in aux["maps"].items()}
             for i in range(covs.shape[0]):
                 subj_idx = int(sample["subjid"][i])
@@ -73,6 +81,8 @@ def reconstruct(trainer, loader, ref_niis: List[str], save_dirs: List[str]):
 
 def mk_single_volumes(loader, trainer, csv_file: str, save_dir: str):
     """Create per-subject dirs and reconstruct every volume."""
+    import jax
+
     dset = pd.read_csv(csv_file)
     subjs = dset.subjid.unique().tolist()
     ref_niis = dset.nii_path.unique().tolist()
@@ -82,7 +92,8 @@ def mk_single_volumes(loader, trainer, csv_file: str, save_dir: str):
         subj_dir = os.path.join(
             save_dir, "reconstructions", f"{ckpt_num}_model_recons", subj
         )
-        os.makedirs(subj_dir, exist_ok=True)
+        if jax.process_index() == 0:
+            os.makedirs(subj_dir, exist_ok=True)
         subj_dirs.append(subj_dir)
     reconstruct(trainer, loader, ref_niis, subj_dirs)
 
@@ -95,6 +106,10 @@ def mk_avg_maps(csv_file: str, trainer, save_dir: str,
     (build_model_recons.py:86-92) so the output is a pure function of what
     is on disk.
     """
+    import jax
+
+    if jax.process_index() != 0:
+        return  # pure host re-read/average of written files; main-only
     img_shape = tuple(trainer.config.img_shape)
     ckpt_num = str(trainer.epoch).zfill(3)
     sngl_vols_dir = os.path.join(

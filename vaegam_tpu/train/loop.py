@@ -40,11 +40,17 @@ from .checkpoint import checkpoint_filename, load_checkpoint, save_checkpoint
 
 
 def _dataset_len(loader) -> int:
-    """Loss-normalization denominator (reference: len(dataset), :430)."""
-    ds = getattr(loader, "dataset", None)
-    if ds is not None:
-        return len(ds)
-    return loader.num_samples  # array-backed DeviceResidentLoader
+    """Loss-normalization denominator (reference: len(dataset), :430).
+
+    Every loader kind exposes num_samples = the GLOBAL sample count, so the
+    printed per-epoch average is normalized identically across streaming /
+    device-cache / sharded loaders (round-2 advisor finding: the two loader
+    kinds used different denominators under row sharding)."""
+    return loader.num_samples
+
+
+def _is_main_process() -> bool:
+    return jax.process_index() == 0
 
 
 class Trainer:
@@ -69,8 +75,8 @@ class Trainer:
         self.lr = lr
         self.log_figs_every = log_figs_every
         self.mesh = mesh
-        if save_dir and not os.path.exists(save_dir):
-            os.makedirs(save_dir)
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
 
         key = jax.random.PRNGKey(seed)
         self._key, init_key = jax.random.split(key)
@@ -87,19 +93,27 @@ class Trainer:
         self.epoch = 0
         self.loss: Dict[str, Dict[int, float]] = {"train": {}, "test": {}}
 
+        # figure logging is a COLLECTIVE decision: in multi-process runs the
+        # maps-forward inside _log_batch_figures must run on every process
+        # (only main holds a writer and plots)
+        self._figs_enabled = bool(enable_tb and save_dir and log_figs_every)
         self.writer = None
-        if enable_tb and save_dir:
+        if enable_tb and save_dir and _is_main_process():
             ts = datetime.datetime.now().date()
             self.writer = tb.make_writer(
                 os.path.join(save_dir, "run", ts.strftime("%m_%d_%Y"))
             )
 
         if mesh is not None:
+            from ..parallel import put_replicated
+
             self._batch_sharding = NamedSharding(mesh, P("data"))
             self._replicated = NamedSharding(mesh, P())
-            self.params = jax.device_put(self.params, self._replicated)
-            self.opt_state = jax.device_put(self.opt_state, self._replicated)
-            self.consts = jax.device_put(self.consts, self._replicated)
+            # put_replicated is multi-process-safe: init is same-seed
+            # deterministic, so every process holds identical bytes
+            self.params = put_replicated(self.params, mesh)
+            self.opt_state = put_replicated(self.opt_state, mesh)
+            self.consts = put_replicated(self.consts, mesh)
         else:
             self._batch_sharding = None
             self._replicated = None
@@ -164,16 +178,53 @@ class Trainer:
 
     def _build_eval_step(self, return_maps: bool):
         config, consts = self.config, self.consts
+        replicated = self._replicated
 
         def step(params, key, covariates, x):
-            return forward(
+            out = forward(
                 params, consts, key, covariates, x, config,
                 return_maps=return_maps,
             )
+            if replicated is not None:
+                # output writers read these on host; in multi-controller
+                # runs a P('data')-sharded output is not addressable from
+                # any single process, so gather eval outputs to replicated
+                # (maps are small: 10 x B x img_dim)
+                out = jax.lax.with_sharding_constraint(out, replicated)
+            return out
 
         return jax.jit(step)
 
+    def set_conv_dtype(self, conv_dtype) -> None:
+        """Switch conv activation/compute precision mid-training.
+
+        Enables mixed-precision schedules (e.g. an fp32 warm-start before
+        switching to bf16 convs — the multi-subject bf16 rescue arm,
+        docs/CONTROL_EXPERIMENT.md).  Params/opt state are untouched (they
+        are fp32 either way); only the jitted closures are rebuilt, so the
+        next step pays one recompile.
+        """
+        import dataclasses
+
+        self.config = dataclasses.replace(self.config, conv_dtype=conv_dtype)
+        self._train_step = self._build_train_step()
+        self._gather_train_step = self._build_gather_train_step()
+        self._eval_step = self._build_eval_step(return_maps=False)
+        self._maps_step = self._build_eval_step(return_maps=True)
+
     # ------------------------------------------------------------- plumbing
+    def _replicate_small(self, arr):
+        """All-gather a small sharded array so the host can read it (jitted;
+        a collective — must be called by every process)."""
+        if self._replicated is None:
+            return arr
+        if not hasattr(self, "_replicate_jit"):
+            repl = self._replicated
+            self._replicate_jit = jax.jit(
+                lambda a: jax.lax.with_sharding_constraint(a, repl)
+            )
+        return self._replicate_jit(arr)
+
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub
@@ -185,13 +236,25 @@ class Trainer:
         through eager-op machinery and measured 1211 ms for a 29 MB batch
         that jax.device_put moves in 19 ms (docs/PERFORMANCE.md).  Arrays a
         loader already placed on device pass through untouched.
+
+        Multi-process meshes: a host batch is assembled into a global
+        P('data') array with make_array_from_callback (each process supplies
+        its addressable slice of the full batch it holds); plain device_put
+        would stamp per-process bytes with a global sharding.
         """
         dtype = self.config.dtype
+        multiprocess = (
+            self._batch_sharding is not None and jax.process_count() > 1
+        )
 
         def put(a):
             if isinstance(a, jax.Array) and a.dtype == dtype:
                 return a  # Prefetch/DeviceResident loaders already placed it
             a = np.asarray(a, dtype)
+            if multiprocess:
+                return jax.make_array_from_callback(
+                    a.shape, self._batch_sharding, lambda idx: a[idx]
+                )
             if self._batch_sharding is not None:
                 return jax.device_put(a, self._batch_sharding)
             return jax.device_put(a)
@@ -200,12 +263,10 @@ class Trainer:
 
     # --------------------------------------------------------------- epochs
     def train_epoch(self, train_loader) -> float:
-        # fast path: device-resident dataset + no per-batch figure logging
-        # => single-dispatch steps with the gather fused inside jit
-        if (
-            hasattr(train_loader, "iter_index_batches")
-            and not (self.writer is not None and self.log_figs_every)
-        ):
+        # fast path: device-resident dataset => single-dispatch steps with
+        # the gather fused inside jit (periodic figure logging re-gathers
+        # just the sampled batches; the other steps stay single-dispatch)
+        if hasattr(train_loader, "iter_index_batches"):
             return self._train_epoch_fused(train_loader)
         losses = []
         last_covs = None
@@ -217,11 +278,10 @@ class Trainer:
             )
             losses.append(loss)
             if (
-                self.writer is not None
-                and self.log_figs_every
+                self._figs_enabled
                 and batch_idx % self.log_figs_every == 0
             ):
-                self._log_batch_figures(covs, x, aux, "train")
+                self._log_batch_figures(covs, x, "train")
         train_loss = float(np.sum([np.asarray(l) for l in losses]))
         if not np.isfinite(train_loss):
             # failure detection (reference gp.py:47-63): a non-PSD qu_S turns
@@ -243,7 +303,7 @@ class Trainer:
         losses = []
         last_sel = None
         key = self._next_key()  # one device key chained inside the steps
-        for sel in loader.iter_index_batches():
+        for batch_idx, sel in enumerate(loader.iter_index_batches()):
             last_sel = sel
             # numpy sel crosses the jit boundary on the fast DMA path; an
             # eager jnp.asarray would pay a full tunnel dispatch per step
@@ -252,6 +312,14 @@ class Trainer:
                 loader._vols, loader._covs, np.asarray(sel),
             )
             losses.append(loss)
+            if self._figs_enabled and batch_idx % self.log_figs_every == 0:
+                # sampled-batch figures (reference logs EVERY batch): re-use
+                # the loader's jitted gather for just this batch; the train
+                # steps themselves stay single-dispatch
+                x, covs = loader._gather(
+                    loader._vols, loader._covs, np.asarray(sel)
+                )
+                self._log_batch_figures(covs, x, "train")
         train_loss = float(np.sum([np.asarray(l) for l in losses]))
         if not np.isfinite(train_loss):
             last_covs = (
@@ -309,10 +377,19 @@ class Trainer:
             self.writer.flush()
 
     # -------------------------------------------------------- observability
-    def _log_batch_figures(self, covs, x, aux, log_type):
-        """Per-batch beta + map figures (reference logs these EVERY batch)."""
-        _, aux_maps = self._maps_step(self.params, self._next_key(), covs, x)
-        maps = jax.tree_util.tree_map(np.asarray, aux_maps["maps"])
+    def _log_batch_figures(self, covs, x, log_type):
+        """Per-batch beta + map figures (reference logs these EVERY batch).
+
+        COLLECTIVE in multi-process runs: every process executes the maps
+        forward (and the replication gather inside it); only the main
+        process, which holds the writer, does the host-side plotting.
+        """
+        _, aux = self._maps_step(self.params, self._next_key(), covs, x)
+        if isinstance(covs, jax.Array) and not covs.is_fully_replicated:
+            covs = self._replicate_small(covs)  # collective: ALL processes
+        if self.writer is None:
+            return  # non-main process: collectives done, nothing to plot
+        maps = jax.tree_util.tree_map(np.asarray, aux["maps"])
         b = maps["base"].shape[0]
         for slc in (12, 15, 18):
             tb.log_map(self.writer, self.config.img_shape, maps["base"], slc,
@@ -336,6 +413,13 @@ class Trainer:
         """
         gp_np = jax.tree_util.tree_map(np.asarray, self.params["gp"])
         gp_np["qu_S"] = np.asarray(resolve_qu_S(self.params["gp"]))
+        if isinstance(covariates, jax.Array):
+            # sharded device batches aren't host-addressable from one
+            # process; the dump's batch_vals field is best-effort context
+            covariates = (
+                np.asarray(covariates)
+                if covariates.is_fully_replicated else None
+            )
         healthy = True
         for j in range(gp_np["qu_S"].shape[0]):
             try:
@@ -347,6 +431,8 @@ class Trainer:
             except np.linalg.LinAlgError:
                 healthy = False
                 print("Oops, something went wrong with qu_S!!")
+                if not _is_main_process():
+                    continue  # one diagnostics writer per shared FS
                 fname = os.path.join(self.save_dir, "qu_S_diagnostics.tar")
                 diag = {
                     "qu_m": gp_np["qu_m"][j],
@@ -363,6 +449,8 @@ class Trainer:
 
     # ---------------------------------------------------------- checkpoints
     def save_state(self, filename: str):
+        if not _is_main_process():
+            return  # params are replicated — one writer per shared FS
         save_checkpoint(
             filename,
             self.params,
@@ -428,9 +516,12 @@ class Trainer:
         if state.get("consts") is not None:
             self.consts = as_jnp(state["consts"])
         if self._replicated is not None:
-            self.params = jax.device_put(self.params, self._replicated)
-            self.opt_state = jax.device_put(self.opt_state, self._replicated)
-            self.consts = jax.device_put(self.consts, self._replicated)
+            from ..parallel import put_replicated
+
+            # checkpoint bytes are identical on every process (shared FS)
+            self.params = put_replicated(self.params, self.mesh)
+            self.opt_state = put_replicated(self.opt_state, self.mesh)
+            self.consts = put_replicated(self.consts, self.mesh)
         # consts may have changed => rebuild the jitted closures
         self._train_step = self._build_train_step()
         self._gather_train_step = self._build_gather_train_step()
