@@ -61,7 +61,8 @@ def main(argv=None):
 
     import jax
 
-    from ..data import DataLoader, FMRIDataset, PrefetchLoader
+    from ..data import (DataLoader, DeviceResidentLoader, FMRIDataset,
+                        PrefetchLoader)
     from ..models import VAEGAMConfig
     from ..train import Trainer
 
@@ -76,13 +77,39 @@ def main(argv=None):
 
     results = {"img_shape": [91, 109, 91], "batch": args.batch,
                "n_vols_total": n}
-    for name, loader in (
+    candidates = [
         ("sync_DataLoader",
-         DataLoader(ds, batch_size=args.batch, shuffle=True, seed=3)),
+         lambda: DataLoader(ds, batch_size=args.batch, shuffle=True, seed=3)),
         (f"PrefetchLoader(depth={args.depth})",
-         PrefetchLoader(ds, batch_size=args.batch, shuffle=True, seed=3,
-                        depth=args.depth)),
-    ):
+         lambda: PrefetchLoader(ds, batch_size=args.batch, shuffle=True,
+                                seed=3, depth=args.depth)),
+        # r3: bfloat16 wire precision — halves the bytes over the binding
+        # host->device link (fp32 restored on device)
+        (f"PrefetchLoader(depth={args.depth},bf16_wire)",
+         lambda: PrefetchLoader(ds, batch_size=args.batch, shuffle=True,
+                                seed=3, depth=args.depth,
+                                transfer_dtype="bfloat16")),
+        # device HBM caches (dataset permitting): fp32 vs the r3 bf16 cache
+        # (half the HBM footprint AND half the one-time upload bytes)
+        ("DeviceResidentLoader(fp32)",
+         lambda: DeviceResidentLoader(ds, batch_size=args.batch,
+                                      shuffle=True, seed=3)),
+        ("DeviceResidentLoader(bf16_cache)",
+         lambda: DeviceResidentLoader(ds, batch_size=args.batch,
+                                      shuffle=True, seed=3,
+                                      cache_dtype="bfloat16")),
+    ]
+    for name, make in candidates:
+        try:
+            t_up0 = time.time()
+            loader = make()
+            jax.block_until_ready(getattr(loader, "_vols", ()))
+            upload = time.time() - t_up0
+            if hasattr(loader, "_vols"):
+                results[f"{name}_upload_s"] = round(upload, 2)
+        except ValueError as e:  # over the HBM cache budget
+            results[name] = f"skipped: {e}"
+            continue
         trainer.train_epoch(loader)  # warmup epoch (compile + host caches)
         t0 = time.time()
         for _ in range(args.epochs):

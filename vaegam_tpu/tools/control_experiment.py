@@ -45,8 +45,20 @@ def build_motion_maps(img_shape=(41, 49, 35)):
     return maps
 
 
+def build_sex_map(img_shape=(41, 49, 35)):
+    """Octahedral ground-truth map for the (binary, un-z-scored) sex cov."""
+    from ..utils.stats import mk_spherical_mask
+
+    ball = mk_spherical_mask(size=7, radius=1)
+    maps = np.zeros(tuple(img_shape), np.float32)
+    maps[16:23, 20:27, 22:29] += ball
+    return maps
+
+
 def build_fake_subjects(root, n_subjs, n_vols, seed=0,
-                        motion_artifact_intensity=0.0):
+                        motion_artifact_intensity=0.0,
+                        sex_effect_intensity=0.0,
+                        noise_sigma=15.0):
     """Realistic-ish toy: smooth random 'anatomy' + noise, full (41,49,35).
 
     motion_artifact_intensity > 0 additionally injects motion-correlated
@@ -77,9 +89,15 @@ def build_fake_subjects(root, n_subjs, n_vols, seed=0,
         field = (field - field.min()) / (field.max() - field.min())
         base = (300 + 2500 * field).astype(np.float32)
         vols = np.stack(
-            [base + rng.normal(0, 15, (41, 49, 35)) for _ in range(n_vols)],
+            [base + rng.normal(0, noise_sigma, (41, 49, 35))
+             for _ in range(n_vols)],
             axis=-1,
         ).astype(np.float32)
+        if sex_effect_intensity > 0 and s % 2 == 1:
+            # sex is a constant un-z-scored 0/1 covariate (utils.zscore only
+            # standardizes the 6 motion columns); subjects with sex=1 carry
+            # a constant anatomical effect at a known octahedral map
+            vols += (sex_effect_intensity * build_sex_map())[..., None]
         mot = pd.DataFrame(
             {c: rng.normal(0, 0.4, n_vols) for c in MOTION_COLS}
         )
@@ -152,6 +170,12 @@ def main(argv=None):
     parser.add_argument("--bf16_convs", action="store_true", default=False,
                         help="Run the conv stacks with bfloat16 activations "
                         "(the VERDICT r1 #5 recipe study variant).")
+    parser.add_argument("--bf16_warmstart", type=int, default=0,
+                        help="Train the first N epochs with fp32 convs, then "
+                        "switch to bfloat16 for the rest (multi-subject bf16 "
+                        "rescue arm: the collapse happens in EARLY training "
+                        "near the gain-collapse boundary; once sa_task is "
+                        "established, bf16 rounding may no longer tip it).")
     parser.add_argument("--fused_norm_stats", action="store_true",
                         default=True,
                         help="Joint decoder norm statistics over all 9B "
@@ -174,6 +198,21 @@ def main(argv=None):
                         "zero unless the regularizer pull is stronger "
                         "(measured: sa_task 0.047 at scale 1, see "
                         "docs/CONTROL_EXPERIMENT.md).")
+    parser.add_argument("--sex_effect", type=float, default=None,
+                        help="Constant anatomical effect at a known "
+                        "octahedral map in sex=1 subjects (the binary sex "
+                        "covariate then has a non-zero ground-truth beta "
+                        "map).  Default: 200 for the realistic tier "
+                        "(n_subjs >= 10), 0 otherwise.")
+    parser.add_argument("--noise_sigma", type=float, default=15.0,
+                        help="Per-volume Gaussian noise sigma (raw intensity "
+                        "units; anatomy spans 300-2800).  The realistic "
+                        "tier uses larger values to model real fMRI SNR.")
+    parser.add_argument("--no_gate", action="store_true", default=False,
+                        help="Report metrics but always exit 0 — for "
+                        "tracked non-gating arms (e.g. the "
+                        "reference-parity-semantics trainability arm, "
+                        "VERDICT r2 Weak #4).")
     parser.add_argument("--motion_artifacts", type=float, default=None,
                         help="Inject motion-correlated artifacts with known "
                         "octahedral maps at this intensity (gives the 6 "
@@ -197,9 +236,13 @@ def main(argv=None):
         args.motion_artifacts = 150.0 if args.n_subjs > 1 else 0.0
     if args.glm_reg_scale is None:
         args.glm_reg_scale = 10.0 if args.n_subjs > 1 else 1.0
+    if args.sex_effect is None:
+        args.sex_effect = 200.0 if args.n_subjs >= 10 else 0.0
     motion_maps = build_fake_subjects(
         data_dir, args.n_subjs, args.n_vols, seed=0,
         motion_artifact_intensity=args.motion_artifacts,
+        sex_effect_intensity=args.sex_effect,
+        noise_sigma=args.noise_sigma,
     )
 
     t0 = time.time()
@@ -232,26 +275,40 @@ def main(argv=None):
                 glm_maps[:, 2 + c] = (
                     args.motion_artifacts * motion_maps[c].reshape(-1) / 3284.5
                 )
+        if args.sex_effect > 0:
+            glm_maps[:, 8] = (
+                args.sex_effect * build_sex_map().reshape(-1) / 3284.5
+            )
         glm_reg_scale = args.glm_reg_scale
     import jax.numpy as jnp
 
+    warm = min(args.bf16_warmstart, args.epochs) if args.bf16_warmstart else 0
     config = VAEGAMConfig(glm_reg_scale=glm_reg_scale,
                           neural_covariates=False,
                           qu_s_cholesky=args.qu_s_cholesky,
-                          conv_dtype=jnp.bfloat16 if args.bf16_convs else None,
+                          conv_dtype=(jnp.bfloat16
+                                      if args.bf16_convs and not warm
+                                      else None),
                           fused_norm_stats=args.fused_norm_stats)
     loaders = setup_device_loaders(batch_size=args.batch_size, train_csv=csv,
                                    test_csv=csv, seed=args.seed)
     trainer = Trainer(config, get_xu_ranges([csv, csv]), glm_maps=glm_maps,
                       save_dir=run_dir, seed=args.seed, enable_tb=False)
     t_train0 = time.time()
-    trainer.train_loop(loaders, epochs=args.epochs, test_freq=None,
+    if warm:
+        trainer.train_loop(loaders, epochs=warm, test_freq=None,
+                           save_freq=None, save_dir=run_dir)
+        print(f"[bf16_warmstart] switching convs to bfloat16 after "
+              f"{warm} fp32 epochs")
+        trainer.set_conv_dtype(jnp.bfloat16)
+    trainer.train_loop(loaders, epochs=args.epochs - warm, test_freq=None,
                        save_freq=None, save_dir=run_dir)
     train_secs = time.time() - t_train0
     trainer.save_state(os.path.join(run_dir, "final.tar"))  # for diagnosis
 
     mk_single_volumes(loaders["UnShuffled_train"], trainer, csv, run_dir)
-    mk_avg_maps(csv, trainer, run_dir, mk_motion_maps=False)
+    mk_avg_maps(csv, trainer, run_dir,
+                mk_motion_maps=args.motion_artifacts > 0)
 
     # --- recovery check ------------------------------------------------------
     ckpt = str(trainer.epoch).zfill(3)
@@ -270,6 +327,45 @@ def main(argv=None):
     inside_mean = float(np.mean(task_map[mask]))
 
     vols_per_sec = args.epochs * args.n_vols * args.n_subjs / train_secs
+
+    # optional recovery metrics for the other signal-carrying covariates
+    # (the realistic tier injects task + motion + sex; VERDICT r2 Next #4)
+    extra = {}
+    avg_dir = os.path.join(run_dir, "reconstructions",
+                           f"{ckpt}_avg_model_recons")
+    if args.sex_effect > 0:
+        # sex is constant per subject: use a sex=1 subject's average
+        # (grand-averaging over both sexes halves the effect)
+        sex_subj = f"sub-A000{70 + 1:02d}"
+        sex_map = np.array(nifti.load(
+            os.path.join(avg_dir, sex_subj, "sex_avg.nii")).dataobj)
+        smask = build_sex_map() > 0
+        s_in = float(np.mean(sex_map[smask]))
+        s_out = float(np.mean(np.abs(sex_map[~smask])))
+        extra.update(sex_map_mean_inside=round(s_in, 4),
+                     sex_expected=round(args.sex_effect / 3284.5, 4),
+                     sex_contrast=round(s_in / max(s_out, 1e-12), 2))
+    if args.motion_artifacts > 0:
+        # zero-mean covariates cancel in time averages, so measure the
+        # mean |per-volume| x-motion contribution of one subject instead
+        subj = f"sub-A000{70:02d}"
+        subj_dir = os.path.join(run_dir, "reconstructions",
+                                f"{ckpt}_model_recons", subj)
+        acc = None
+        vol_dirs = sorted(os.listdir(subj_dir))
+        for vd in vol_dirs:
+            vol = np.abs(np.array(nifti.load(
+                os.path.join(subj_dir, vd, "recon_x_mot.nii")).dataobj))
+            acc = vol if acc is None else acc + vol
+        acc /= len(vol_dirs)
+        mmask = build_motion_maps()[0] > 0
+        m_in = float(np.mean(acc[mmask]))
+        m_out = float(np.mean(acc[~mmask]))
+        extra.update(xmot_absmap_mean_inside=round(m_in, 4),
+                     xmot_contrast=round(m_in / max(m_out, 1e-12), 2))
+    skips = 0
+    if trainer.skip_nonfinite_updates:
+        skips = int(np.asarray(trainer.opt_state.total_notfinite))
     # NOTE on thresholds: without the GLM regularizer the base/effect
     # decomposition is only weakly identified — past ~500 epochs the latent
     # z starts absorbing the block signal and the task map collapses (the
@@ -280,6 +376,8 @@ def main(argv=None):
         "n_subjs": args.n_subjs,
         "motion_artifacts": args.motion_artifacts,
         "epochs": args.epochs,
+        "conv_dtype": ("bfloat16" if args.bf16_convs or warm else "float32"),
+        "bf16_warmstart": warm,
         "train_seconds": round(train_secs, 1),
         "train_vols_per_sec": round(vols_per_sec, 1),
         "task_map_mean_inside": round(inside_mean, 4),
@@ -287,10 +385,14 @@ def main(argv=None):
         "abs_inside": round(inside, 4),
         "abs_outside": round(outside, 5),
         "contrast_ratio": round(contrast, 2),
+        "nonfinite_skips": skips,
         "recovered": bool(contrast > 2.0 and inside_mean > 0.25 * expected),
         "total_seconds": round(time.time() - t0, 1),
+        **extra,
     }
     print(json.dumps(result))
+    if args.no_gate:
+        return 0
     return 0 if result["recovered"] else 1
 
 
