@@ -3,16 +3,18 @@
 Encodes the full UnShuffled_train set (posterior means only), projects to
 2D, and scatters per-subject chunks of ``split`` volumes.
 
-Projection backend chain (umap-learn is not installable in this
-environment, so the closest available neighbor-graph method substitutes):
+Projection backend chain:
 
   1. umap-learn if installed — UMAP(n_components=2, n_neighbors=20,
      min_dist=0.1, random_state=42), the reference's exact settings;
-  2. sklearn SpectralEmbedding on the same n_neighbors=20 kNN graph —
-     this is literally UMAP's own initialization (the graph Laplacian
-     eigenmap of the fuzzy-neighbor graph), so cluster structure renders
-     comparably; deterministic via random_state=42;
-  3. PCA as the last-resort linear fallback (tiny inputs where a kNN
+  2. the native UMAP implementation (outputs/umap_native.py) — the same
+     published algorithm (fuzzy simplicial set, a/b curve fit, spectral
+     init, cross-entropy SGD layout) with the same settings, the layout
+     optimizer jitted as one lax.fori_loop; this is the production path
+     in this environment (umap-learn is not installable here);
+  3. sklearn SpectralEmbedding on the same n_neighbors=20 kNN graph
+     (UMAP's own initialization) if the native optimizer fails;
+  4. PCA as the last-resort linear fallback (tiny inputs where a kNN
      graph is degenerate).
 """
 
@@ -44,9 +46,18 @@ def _project_2d(latent: np.ndarray) -> np.ndarray:
         return transform.fit_transform(latent)
     except ImportError:
         pass
-    # UMAP's own initialization: spectral embedding of the kNN graph,
-    # with the reference's neighborhood size
     if len(latent) > 25:
+        try:
+            from .umap_native import umap_embed
+
+            out = umap_embed(latent, n_neighbors=min(20, len(latent) - 2),
+                             min_dist=0.1, seed=42)
+            if np.all(np.isfinite(out)):
+                return out
+        except Exception:
+            pass  # fall through to the spectral stand-in
+        # UMAP's own initialization: spectral embedding of the kNN graph,
+        # with the reference's neighborhood size
         try:
             from sklearn.manifold import SpectralEmbedding
 
