@@ -163,11 +163,13 @@ def test_fused_epoch_periodic_figure_logging(setup, tmp_path):
                for t in figure_tags), tags
 
 
+@pytest.mark.slow
 def test_x64_epsilon_mode(setup, tmp_path):
     """Opt-in fp64 epsilon (reference vae_reg_GP.py:54): storage/Adam in
     float64, log-likelihood cast down to fp32 (its .float(), :402).
     Subprocess: jax x64 is a global switch that must not leak into the
-    suite."""
+    suite.  Marked slow: the x64 variant is a distinct compile-cache key,
+    so the subprocess cold-compiles the full fwd/bwd (minutes, 1 core)."""
     import subprocess
     import sys
     import textwrap
@@ -198,7 +200,7 @@ def test_x64_epsilon_mode(setup, tmp_path):
     """)
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=600, env=env,
+                         text=True, timeout=1800, env=env,
                          cwd=os.path.dirname(os.path.dirname(__file__)))
     assert out.returncode == 0, out.stdout + out.stderr
     assert "X64_OK" in out.stdout
