@@ -37,8 +37,10 @@ def test_smooth_knn_dist_hits_target():
     x = rng.normal(size=(200, 8))
     _, d = un.knn_graph(x, 15)
     rho, sigma = un.smooth_knn_dist(d)
-    # the binary-search invariant: sum exp(-(d-rho)+/sigma) = log2(k)
-    psum = np.sum(np.exp(-np.maximum(d - rho[:, None], 0.0)
+    # the binary-search invariant over the NON-SELF neighbors (column 0
+    # is the self neighbor, skipped exactly like umap-learn's
+    # ``for j in range(1, k)``): sum exp(-(d-rho)+/sigma) = log2(k)
+    psum = np.sum(np.exp(-np.maximum(d[:, 1:] - rho[:, None], 0.0)
                          / sigma[:, None]), axis=1)
     np.testing.assert_allclose(psum, np.log2(15), atol=1e-3)
     assert np.all(sigma > 0)

@@ -8,7 +8,8 @@ including the hyphenated --batch-size:
 
 Framework extensions (all optional, defaults preserve reference behavior):
   --log_figs_every N   log per-batch map/beta figures every N batches
-                       (the reference logs EVERY batch; default 0 = off)
+                       (the reference logs EVERY batch; default 50 —
+                       the same artifact set, sampled; 0 disables)
   --data_parallel      shard the batch over all visible devices
 """
 

@@ -262,8 +262,23 @@ def setup_device_loaders(batch_size=32, train_csv="", test_csv="", seed=0,
     if cache_dtype == "auto":
         dtypes = ["float32", "bfloat16"]
 
+    def _fits(ds, dt):
+        # the loader's own budget check, evaluated BEFORE any decode/upload:
+        # otherwise "auto" would fully gather + device_put the train cache
+        # in fp32, have the TEST loader raise, and redo everything in bf16
+        # (minutes of wasted tunnel time at the documented ~55 MB/s link)
+        itemsize = jnp.dtype(_CACHE_DTYPES[dt]).itemsize
+        n = len(np.arange(len(ds))[shard_index::num_shards])
+        return n * ds[0]["volume"].size * itemsize <= max_bytes
+
     last_err = None
     for dt in dtypes:
+        if not (_fits(train_dataset, dt) and _fits(test_dataset, dt)):
+            last_err = ValueError(
+                f"dataset exceeds the {max_bytes >> 20} MiB device cache "
+                f"budget at {dt} — use the streaming DataLoader instead"
+            )
+            continue
         try:
             shuffled = DeviceResidentLoader(
                 train_dataset, batch_size, shuffle=True, seed=seed,

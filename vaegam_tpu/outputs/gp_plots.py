@@ -23,6 +23,7 @@ import jax.numpy as jnp  # noqa: E402
 
 from ..models import gp as gp_mod  # noqa: E402
 from ..models.vaegam import MOTION_SLICE, gp_transforms, resolve_qu_S  # noqa: E402
+from ..parallel import is_main_process
 
 MOTION_CSV_COLS = ["x", "y", "z", "rot_x", "rot_y", "rot_z"]
 MOTION_KEYS = ["x", "y", "z", "xrot", "yrot", "zrot"]
@@ -31,7 +32,7 @@ MOTION_KEYS = ["x", "y", "z", "xrot", "yrot", "zrot"]
 def plot_GPs(trainer, csv_file: str = "", save_dir: str = ""):
     # GP params are replicated; every process runs the (replicated-only)
     # posterior eval, but only main writes the CSVs/PDFs
-    write_files = jax.process_index() == 0
+    write_files = is_main_process()
     outdir_name = str(trainer.epoch).zfill(3) + "_GP_plots"
     plot_dir = os.path.join(save_dir, outdir_name)
     if write_files:

@@ -97,9 +97,15 @@ def project_latent(trainer, loaders_dict, save_dir, title=None, split=98):
         chunks.append(np.asarray(enc(trainer.params["enc"], x)))
     latent = np.concatenate(chunks, axis=0)
 
+    from ..parallel import is_main_process
+
+    if not is_main_process():
+        # the jitted encode above is collective (every controller must
+        # participate), but the host-side projection + plot are main-only:
+        # a non-main process would burn the full kNN + SGD layout for a
+        # result nobody reads
+        return latent, None
     projection = _project_2d(latent)
-    if jax.process_index() != 0:
-        return latent, projection  # one plot writer per shared FS
 
     c_list = ["b", "g", "r", "c", "m", "y", "k", "orange", "blueviolet",
               "hotpink", "lime", "skyblue", "teal", "sienna"]

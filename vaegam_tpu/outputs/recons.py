@@ -28,6 +28,7 @@ import pandas as pd
 
 from ..models.vaegam import MAP_KEYS
 from ..utils import nifti
+from ..parallel import is_main_process
 
 # NIfTI writes are pure host I/O; a small writer pool overlaps them with the
 # next batch's device compute (the reference writes thousands of small files
@@ -49,7 +50,7 @@ def reconstruct(trainer, loader, ref_niis: List[str], save_dirs: List[str]):
     # multi-process: every process runs the (collective) maps forward —
     # eval outputs are gathered to replicated inside the jitted step — but
     # only the main process writes files (one writer per shared FS)
-    write_files = jax.process_index() == 0
+    write_files = is_main_process()
     with ThreadPoolExecutor(max_workers=_WRITER_THREADS) as pool:
         futures = []
         for sample in loader:
@@ -92,7 +93,7 @@ def mk_single_volumes(loader, trainer, csv_file: str, save_dir: str):
         subj_dir = os.path.join(
             save_dir, "reconstructions", f"{ckpt_num}_model_recons", subj
         )
-        if jax.process_index() == 0:
+        if is_main_process():
             os.makedirs(subj_dir, exist_ok=True)
         subj_dirs.append(subj_dir)
     reconstruct(trainer, loader, ref_niis, subj_dirs)
@@ -108,7 +109,7 @@ def mk_avg_maps(csv_file: str, trainer, save_dir: str,
     """
     import jax
 
-    if jax.process_index() != 0:
+    if not is_main_process():
         return  # pure host re-read/average of written files; main-only
     img_shape = tuple(trainer.config.img_shape)
     ckpt_num = str(trainer.epoch).zfill(3)

@@ -40,14 +40,33 @@ def knn_graph(x: np.ndarray, n_neighbors: int):
     Returns (indices [N,k], dists [N,k]) sorted ascending per row.
     """
     x = np.asarray(x, dtype=np.float64)
+    n = len(x)
     sq = np.sum(x * x, axis=1)
-    d2 = sq[:, None] + sq[None, :] - 2.0 * (x @ x.T)
-    np.maximum(d2, 0.0, out=d2)
-    np.fill_diagonal(d2, 0.0)  # exact-zero self distance (float noise
-    # in the Gram expansion would otherwise corrupt rho)
-    order = np.argsort(d2, axis=1, kind="stable")[:, :n_neighbors]
-    dists = np.sqrt(np.take_along_axis(d2, order, axis=1))
-    return order, dists
+    idx = np.empty((n, n_neighbors), dtype=np.int64)
+    dists = np.empty((n, n_neighbors), dtype=np.float64)
+    # row-chunked so peak memory is O(chunk x n), not O(n^2) — at the
+    # module's 10^4-row upper range a full float64 matrix is ~800 MB
+    chunk = max(1, min(n, int(2**27 // max(n, 1))))
+    for s in range(0, n, chunk):
+        e = min(n, s + chunk)
+        d2 = sq[s:e, None] + sq[None, :] - 2.0 * (x[s:e] @ x.T)
+        np.maximum(d2, 0.0, out=d2)
+        d2[np.arange(e - s), np.arange(s, e)] = 0.0  # exact-zero self
+        # distance (float noise in the Gram expansion would corrupt rho)
+        part = np.argpartition(d2, n_neighbors - 1, axis=1)[:, :n_neighbors]
+        pd = np.take_along_axis(d2, part, axis=1)
+        order = np.argsort(pd, axis=1, kind="stable")
+        idx[s:e] = np.take_along_axis(part, order, axis=1)
+        dists[s:e] = np.sqrt(np.take_along_axis(pd, order, axis=1))
+    # self must occupy column 0 (smooth_knn_dist skips it); argpartition
+    # tie order can put another zero-distance duplicate there instead
+    self_col = np.argmax(idx == np.arange(n)[:, None], axis=1)
+    has_self = (idx == np.arange(n)[:, None]).any(axis=1)
+    for i in np.nonzero(has_self & (self_col != 0))[0]:
+        j = self_col[i]
+        idx[i, [0, j]] = idx[i, [j, 0]]
+        dists[i, [0, j]] = dists[i, [j, 0]]
+    return idx, dists
 
 
 def smooth_knn_dist(dists: np.ndarray, n_iter: int = 64):
@@ -55,8 +74,11 @@ def smooth_knn_dist(dists: np.ndarray, n_iter: int = 64):
 
     rho_i = distance to the nearest non-identical neighbor
     (local_connectivity=1); sigma_i solves
-    sum_j exp(-max(0, d_ij - rho_i)/sigma_i) = log2(k),
-    with umap-learn's MIN_K_DIST_SCALE floor.
+    sum_{j>=1} exp(-max(0, d_ij - rho_i)/sigma_i) = log2(k),
+    with umap-learn's MIN_K_DIST_SCALE floor.  Column 0 (the self
+    neighbor) is excluded from the sum, exactly like umap-learn's
+    ``for j in range(1, k)`` loop — including it would shift every
+    sigma to solve for log2(k)-1 over the real neighbors.
     """
     n, k = dists.shape
     target = np.log2(k)
@@ -68,7 +90,7 @@ def smooth_knn_dist(dists: np.ndarray, n_iter: int = 64):
     hi = np.full(n, np.inf)
     mid = np.ones(n)
     for _ in range(n_iter):
-        psum = np.sum(np.exp(-np.maximum(dists - rho[:, None], 0.0)
+        psum = np.sum(np.exp(-np.maximum(dists[:, 1:] - rho[:, None], 0.0)
                              / mid[:, None]), axis=1)
         err = psum - target
         done = np.abs(err) < SMOOTH_K_TOLERANCE
@@ -91,6 +113,8 @@ def fuzzy_simplicial_set(x: np.ndarray, n_neighbors: int):
     Returns COO arrays (heads, tails, weights) with zero-weight and
     self edges removed.
     """
+    import scipy.sparse as sp
+
     n = len(x)
     idx, dists = knn_graph(x, n_neighbors)
     rho, sigma = smooth_knn_dist(dists)
@@ -101,12 +125,12 @@ def fuzzy_simplicial_set(x: np.ndarray, n_neighbors: int):
     vals = w.ravel().copy()
     vals[rows == cols] = 0.0  # self membership is 0 in umap-learn
 
-    dense = np.zeros((n, n))
-    dense[rows, cols] = vals
-    # fuzzy union: P + P^T - P o P^T
-    dense = dense + dense.T - dense * dense.T
-    heads, tails = np.nonzero(dense)
-    return heads, tails, dense[heads, tails]
+    # sparse fuzzy union P + P^T - P o P^T on the ~k*n kNN edges (a
+    # dense n x n intermediate would be ~800 MB float64 at 10^4 rows)
+    p = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    u = (p + p.T - p.multiply(p.T)).tocoo()
+    keep = u.data > 0.0
+    return u.row[keep], u.col[keep], u.data[keep]
 
 
 def find_ab_params(spread: float = 1.0, min_dist: float = 0.1):

@@ -1,0 +1,118 @@
+"""Output-stage (reconstruction) bench: eval batch width sweep.
+
+The reference reuses the training loader for reconstruction
+(vae_reg_GP.py:585-594, batch 32 by default), which leaves the encoder
+MXU-starved at small B during the output stage.  ``wide_eval_view``
+(--eval_batch_size) widens the unshuffled eval loader; this tool records
+what that buys on real hardware, separating
+
+  * maps-forward-only throughput (device compute: encoder + 9-wide decode
+    + gains, no host writes), and
+  * full mk_single_volumes wall-clock (device compute overlapped with the
+    async NIfTI writer pool — the host-I/O-bound regime).
+
+Usage:  python -m vaegam_tpu.tools.bench_recon [--n_subjs 2] [--n_vols 98]
+        [--widths 32 128 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import tempfile
+import time
+
+import numpy as np
+import pandas as pd
+
+
+def build_dataset(root: str, n_subjs: int, n_vols: int, img=(41, 49, 35)):
+    """Synthetic subjects on the reference grid + the CSV contract."""
+    from ..utils import nifti
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for s in range(n_subjs):
+        subj = f"sub-A000{60 + s:02d}"
+        vols = rng.uniform(0, 3284.5, size=img + (n_vols,)).astype(np.float32)
+        path = os.path.join(root, f"{subj}.nii")
+        nifti.save(
+            nifti.Nifti1Image(vols, np.diag([2.0, 2.0, 2.0, 1.0])), path
+        )
+        for t in range(n_vols):
+            rows.append({
+                "subjid": subj, "volume #": t, "nii_path": path,
+                "task": float(t % 2), "x": rng.normal(), "y": rng.normal(),
+                "z": rng.normal(), "rot_x": rng.normal(),
+                "rot_y": rng.normal(), "rot_z": rng.normal(), "sex": s % 2,
+            })
+    csv = os.path.join(root, "bench_recon.csv")
+    pd.DataFrame(rows).to_csv(csv)
+    return csv
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--n_subjs", type=int, default=2)
+    p.add_argument("--n_vols", type=int, default=98)
+    p.add_argument("--widths", type=int, nargs="+", default=[32, 128, 256])
+    p.add_argument("--nf", type=int, default=8,
+                   help="encoder feature width (reference default 8); "
+                        "small values for CPU smoke tests")
+    p.add_argument("--num_latents", type=int, default=32)
+    args = p.parse_args(argv)
+
+    import jax
+
+    from ..data import DeviceResidentLoader, FMRIDataset, wide_eval_view
+    from ..models import VAEGAMConfig
+    from ..outputs.recons import mk_single_volumes
+    from ..train import Trainer
+
+    root = tempfile.mkdtemp(prefix="bench_recon_")
+    csv = build_dataset(root, args.n_subjs, args.n_vols)
+    ds = FMRIDataset(csv)
+    n = len(ds)
+    img_dim = int(np.prod((41, 49, 35)))
+
+    config = VAEGAMConfig(nf=args.nf, num_latents=args.num_latents)
+    trainer = Trainer(config, [[-2.0, 2.0]] * 6, glm_maps=None,
+                      seed=1, enable_tb=False)
+    base = DeviceResidentLoader(ds, batch_size=32, shuffle=False)
+
+    results = {"n_vols_total": n}
+    for width in args.widths:
+        loader = wide_eval_view(base, img_dim, width=width)
+        eff = loader.batch_size
+        # (a) maps forward only — the reconstruct() device loop minus writes
+        for sample in loader:  # warmup epoch (compile)
+            covs, x = trainer._put_batch(sample)
+            trainer._maps_step(trainer.params, trainer._next_key(), covs, x)
+        t0 = time.time()
+        last = None
+        for sample in loader:
+            covs, x = trainer._put_batch(sample)
+            _, last = trainer._maps_step(
+                trainer.params, trainer._next_key(), covs, x
+            )
+        jax.block_until_ready(last)
+        fwd_vps = n / (time.time() - t0)
+        # (b) full recon stage including the async NIfTI writer pool
+        out = os.path.join(root, f"recons_w{eff}")
+        os.makedirs(out, exist_ok=True)
+        t0 = time.time()
+        mk_single_volumes(loader, trainer, csv, out)
+        full_vps = n / (time.time() - t0)
+        shutil.rmtree(out)
+        results[f"width_{eff}_fwd_vols_per_s"] = round(fwd_vps, 2)
+        results[f"width_{eff}_full_recon_vols_per_s"] = round(full_vps, 2)
+        print(f"width {eff}: fwd {fwd_vps:.2f} vols/s, "
+              f"full recon {full_vps:.2f} vols/s")
+    print(json.dumps(results))
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

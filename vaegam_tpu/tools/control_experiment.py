@@ -333,9 +333,10 @@ def main(argv=None):
     extra = {}
     avg_dir = os.path.join(run_dir, "reconstructions",
                            f"{ckpt}_avg_model_recons")
-    if args.sex_effect > 0:
+    if args.sex_effect > 0 and args.n_subjs >= 2:
         # sex is constant per subject: use a sex=1 subject's average
-        # (grand-averaging over both sexes halves the effect)
+        # (grand-averaging over both sexes halves the effect); subjects
+        # alternate sex, so a sex=1 subject only exists at n_subjs >= 2
         sex_subj = f"sub-A000{70 + 1:02d}"
         sex_map = np.array(nifti.load(
             os.path.join(avg_dir, sex_subj, "sex_avg.nii")).dataobj)

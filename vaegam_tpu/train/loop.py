@@ -36,6 +36,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models import VAEGAMConfig, forward, init_model
 from ..models.vaegam import COVARIATE_KEYS, resolve_qu_S
 from ..utils import tb
+from ..parallel import is_main_process
 from .checkpoint import checkpoint_filename, load_checkpoint, save_checkpoint
 
 
@@ -47,10 +48,6 @@ def _dataset_len(loader) -> int:
     device-cache / sharded loaders (round-2 advisor finding: the two loader
     kinds used different denominators under row sharding)."""
     return loader.num_samples
-
-
-def _is_main_process() -> bool:
-    return jax.process_index() == 0
 
 
 class Trainer:
@@ -98,7 +95,7 @@ class Trainer:
         # (only main holds a writer and plots)
         self._figs_enabled = bool(enable_tb and save_dir and log_figs_every)
         self.writer = None
-        if enable_tb and save_dir and _is_main_process():
+        if enable_tb and save_dir and is_main_process():
             ts = datetime.datetime.now().date()
             self.writer = tb.make_writer(
                 os.path.join(save_dir, "run", ts.strftime("%m_%d_%Y"))
@@ -431,7 +428,7 @@ class Trainer:
             except np.linalg.LinAlgError:
                 healthy = False
                 print("Oops, something went wrong with qu_S!!")
-                if not _is_main_process():
+                if not is_main_process():
                     continue  # one diagnostics writer per shared FS
                 fname = os.path.join(self.save_dir, "qu_S_diagnostics.tar")
                 diag = {
@@ -449,7 +446,7 @@ class Trainer:
 
     # ---------------------------------------------------------- checkpoints
     def save_state(self, filename: str):
-        if not _is_main_process():
+        if not is_main_process():
             return  # params are replicated — one writer per shared FS
         save_checkpoint(
             filename,
