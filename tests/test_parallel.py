@@ -5,7 +5,8 @@ import pytest
 
 import jax
 
-from e2e_helpers import make_design_csv, make_subject_tree
+from e2e_helpers import (SMALL_SHAPE, make_design_csv,
+                         make_subject_tree)
 from vaegam_tpu.data import setup_data_loaders
 from vaegam_tpu.models import VAEGAMConfig
 from vaegam_tpu.parallel import make_data_mesh
@@ -16,7 +17,8 @@ from vaegam_tpu.utils.stats import get_xu_ranges
 @pytest.fixture(scope="module")
 def setup(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("subjects"))
-    make_subject_tree(root, n_subjs=1, n_vols=8)
+    make_subject_tree(root, n_subjs=1, n_vols=8,
+                      img_shape=SMALL_SHAPE)
     train = make_design_csv(
         root, str(tmp_path_factory.mktemp("csvs") / "train.csv")
     )
@@ -31,7 +33,7 @@ def test_eight_virtual_devices_present():
 
 def test_dp_loss_matches_single_device(setup, tmp_path):
     loaders, xu_ranges = setup
-    config = VAEGAMConfig(nf=2, num_latents=8)
+    config = VAEGAMConfig(nf=2, num_latents=8, img_shape=SMALL_SHAPE)
     mesh = make_data_mesh()
 
     t_single = Trainer(config, xu_ranges, glm_maps=None,
@@ -65,7 +67,7 @@ def test_device_cache_dp_composition(setup, tmp_path):
     from vaegam_tpu.models import forward
 
     loaders, xu_ranges = setup
-    config = VAEGAMConfig(nf=2, num_latents=8)
+    config = VAEGAMConfig(nf=2, num_latents=8, img_shape=SMALL_SHAPE)
     mesh = make_data_mesh()
 
     ds = loaders["UnShuffled_train"].dataset
@@ -164,7 +166,7 @@ def test_mesh_of_one_grads_exact(setup, tmp_path):
     from vaegam_tpu.models import forward
 
     loaders, xu_ranges = setup
-    config = VAEGAMConfig(nf=2, num_latents=8)
+    config = VAEGAMConfig(nf=2, num_latents=8, img_shape=SMALL_SHAPE)
     mesh1 = make_data_mesh(num_devices=1)
 
     t_plain = Trainer(config, xu_ranges, glm_maps=None,
@@ -199,7 +201,7 @@ def test_mesh_of_one_grads_exact(setup, tmp_path):
 
 def test_dp_training_step_matches_single_device(setup, tmp_path):
     loaders, xu_ranges = setup
-    config = VAEGAMConfig(nf=2, num_latents=8)
+    config = VAEGAMConfig(nf=2, num_latents=8, img_shape=SMALL_SHAPE)
     mesh = make_data_mesh()
 
     t_single = Trainer(config, xu_ranges, glm_maps=None,

@@ -7,7 +7,8 @@ import pytest
 
 import jax
 
-from e2e_helpers import make_design_csv, make_subject_tree
+from e2e_helpers import (SMALL_SHAPE, make_design_csv,
+                         make_subject_tree)
 from vaegam_tpu.data import setup_data_loaders
 from vaegam_tpu.models import VAEGAMConfig
 from vaegam_tpu.train import Trainer, checkpoint_filename
@@ -17,7 +18,8 @@ from vaegam_tpu.utils.stats import get_xu_ranges
 @pytest.fixture(scope="module")
 def setup(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("subjects"))
-    make_subject_tree(root, n_subjs=1, n_vols=8)
+    make_subject_tree(root, n_subjs=1, n_vols=8,
+                      img_shape=SMALL_SHAPE)
     csv_dir = tmp_path_factory.mktemp("csvs")
     train = make_design_csv(root, str(csv_dir / "train.csv"))
     loaders = setup_data_loaders(batch_size=4, train_csv=train, test_csv=train)
@@ -27,7 +29,7 @@ def setup(tmp_path_factory):
 
 def test_short_training_decreases_loss(setup, tmp_path):
     _, loaders, xu_ranges = setup
-    config = VAEGAMConfig(nf=2, num_latents=8)
+    config = VAEGAMConfig(nf=2, num_latents=8, img_shape=SMALL_SHAPE)
     trainer = Trainer(config, xu_ranges, glm_maps=None,
                       save_dir=str(tmp_path), enable_tb=False)
     # deterministic before/after comparison: same fixed key, same batch
@@ -45,7 +47,7 @@ def test_short_training_decreases_loss(setup, tmp_path):
 
 def test_train_loop_checkpoints_and_tests(setup, tmp_path):
     _, loaders, xu_ranges = setup
-    config = VAEGAMConfig(nf=2, num_latents=8)
+    config = VAEGAMConfig(nf=2, num_latents=8, img_shape=SMALL_SHAPE)
     trainer = Trainer(config, xu_ranges, glm_maps=None,
                       save_dir=str(tmp_path), enable_tb=False)
     trainer.train_loop(loaders, epochs=3, test_freq=2, save_freq=2,
@@ -59,7 +61,7 @@ def test_checkpoint_resume_bitwise(setup, tmp_path):
     """save -> load must restore params, opt state, epoch, and produce the
     exact same subsequent training trajectory."""
     _, loaders, xu_ranges = setup
-    config = VAEGAMConfig(nf=2, num_latents=8)
+    config = VAEGAMConfig(nf=2, num_latents=8, img_shape=SMALL_SHAPE)
     t1 = Trainer(config, xu_ranges, glm_maps=None,
                  save_dir=str(tmp_path), seed=7, enable_tb=False)
     t1.train_epoch(loaders["Shuffled_train"])
@@ -102,16 +104,16 @@ def test_load_state_adopts_checkpoint_scalars(setup, tmp_path, capsys):
     """Resume with different CLI scales must adopt the checkpoint's scalars
     (reference restores them, vae_reg_GP.py:477-487) and say so."""
     _, loaders, xu_ranges = setup
-    config = VAEGAMConfig(nf=2, num_latents=8, gp_kl_scale=10.0,
-                          glm_reg_scale=1.0)
+    config = VAEGAMConfig(nf=2, num_latents=8, img_shape=SMALL_SHAPE,
+                          gp_kl_scale=10.0, glm_reg_scale=1.0)
     t1 = Trainer(config, xu_ranges, glm_maps=None, lr=1e-3,
                  save_dir=str(tmp_path), seed=3, enable_tb=False)
     ckpt = str(tmp_path / "scalars.tar")
     t1.save_state(ckpt)
 
     # resume with mismatching scales + lr: checkpoint wins
-    config2 = VAEGAMConfig(nf=2, num_latents=8, gp_kl_scale=99.0,
-                           glm_reg_scale=7.0)
+    config2 = VAEGAMConfig(nf=2, num_latents=8, img_shape=SMALL_SHAPE,
+                           gp_kl_scale=99.0, glm_reg_scale=7.0)
     t2 = Trainer(config2, xu_ranges, glm_maps=None, lr=5e-4,
                  save_dir=str(tmp_path), seed=3, enable_tb=False)
     t2.load_state(ckpt)
@@ -139,7 +141,7 @@ def test_fused_epoch_periodic_figure_logging(setup, tmp_path):
 
     loaders = setup_device_loaders(batch_size=4, train_csv=train,
                                    test_csv=train)
-    config = VAEGAMConfig(nf=2, num_latents=8)
+    config = VAEGAMConfig(nf=2, num_latents=8, img_shape=SMALL_SHAPE)
     trainer = Trainer(config, xu_ranges, glm_maps=None,
                       save_dir=str(tmp_path), enable_tb=True,
                       log_figs_every=2)
@@ -187,7 +189,8 @@ def test_x64_epsilon_mode(setup, tmp_path):
 
         loaders = setup_data_loaders(batch_size=4, train_csv={train!r},
                                      test_csv={train!r})
-        config = VAEGAMConfig(nf=2, num_latents=8, x64_epsilon=True)
+        config = VAEGAMConfig(nf=2, num_latents=8, x64_epsilon=True,
+                             img_shape=(21, 25, 21))
         t = Trainer(config, get_xu_ranges([{train!r}] * 2), glm_maps=None,
                     save_dir={str(tmp_path)!r}, enable_tb=False)
         assert t.params["epsilon"].dtype == jnp.float64, t.params["epsilon"].dtype
