@@ -61,6 +61,12 @@ def main(argv=None):
 
     import jax
 
+    # honor JAX_PLATFORMS even though this env's sitecustomize pre-imports
+    # jax on the axon platform (env vars are too late; config is
+    # authoritative — same fix as tests/conftest.py)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     from ..data import (DataLoader, DeviceResidentLoader, FMRIDataset,
                         PrefetchLoader)
     from ..models import VAEGAMConfig

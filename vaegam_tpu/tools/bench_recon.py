@@ -66,6 +66,12 @@ def main(argv=None):
 
     import jax
 
+    # honor JAX_PLATFORMS even though this env's sitecustomize pre-imports
+    # jax on the axon platform (env vars are too late; config is
+    # authoritative — same fix as tests/conftest.py)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     from ..data import DeviceResidentLoader, FMRIDataset, wide_eval_view
     from ..models import VAEGAMConfig
     from ..outputs.recons import mk_single_volumes
@@ -75,9 +81,9 @@ def main(argv=None):
     csv = build_dataset(root, args.n_subjs, args.n_vols)
     ds = FMRIDataset(csv)
     n = len(ds)
-    img_dim = int(np.prod((41, 49, 35)))
 
     config = VAEGAMConfig(nf=args.nf, num_latents=args.num_latents)
+    img_dim = config.img_dim
     trainer = Trainer(config, [[-2.0, 2.0]] * 6, glm_maps=None,
                       seed=1, enable_tb=False)
     base = DeviceResidentLoader(ds, batch_size=32, shuffle=False)

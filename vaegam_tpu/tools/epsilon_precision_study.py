@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 
 def main(argv=None):
@@ -32,6 +33,12 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
+
+    # honor JAX_PLATFORMS even though this env's sitecustomize pre-imports
+    # jax on the axon platform (env vars are too late; config is
+    # authoritative — same fix as tests/conftest.py)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     if not jax.config.read("jax_enable_x64"):
         raise SystemExit("run with JAX_ENABLE_X64=1 (needs a real fp64 path)")
