@@ -189,6 +189,29 @@ def test_setup_device_loaders_auto_bf16_fallback(csvs, capsys):
                              max_bytes=vols_bytes // 4)
 
 
+def test_auto_precheck_avoids_wasted_upload(csvs, monkeypatch):
+    """auto cache_dtype must reject a too-big dtype BEFORE decoding and
+    uploading anything: previously a failing fp32 attempt fully gathered
+    + device_put the train cache, then redid everything in bf16."""
+    from vaegam_tpu.data import setup_device_loaders
+
+    _, train = csvs
+    calls = []
+    orig = FMRIDataset.gather
+
+    def spy(self, rows):
+        calls.append(len(rows))
+        return orig(self, rows)
+
+    monkeypatch.setattr(FMRIDataset, "gather", spy)
+    vols_bytes = 12 * 41 * 49 * 35 * 4  # 12 samples fp32
+    setup_device_loaders(batch_size=4, train_csv=train, test_csv=train,
+                         max_bytes=vols_bytes // 2)
+    # exactly one decode each for the bf16 train + test caches; the fp32
+    # attempt must not have gathered at all
+    assert calls == [12, 12]
+
+
 def test_num_samples_consistent_across_loader_kinds(csvs):
     """Every loader kind reports the GLOBAL sample count so epoch loss is
     normalized identically (r2 advisor finding)."""
