@@ -33,6 +33,14 @@ if mode == "stream":
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
+
+# authoritative platform pin (same as multihost_worker.py / conftest.py):
+# sitecustomize pre-imports jax, and with the TPU tunnel down the first
+# jax.devices() call otherwise hangs initializing the axon platform even
+# under JAX_PLATFORMS=cpu
+jax.config.update("jax_platforms", "cpu")
+
 from vaegam_tpu.cli.train import main  # noqa: E402
 
 main([
@@ -46,6 +54,7 @@ main([
     "--num_latents", "8",
     "--save_freq", "1",
     "--test_freq", "1",
+    "--img_shape", "21", "25", "21",
     *extra,
 ])
 print("WORKER_DONE", flush=True)

@@ -64,7 +64,7 @@ def test_two_process_multihost_loss_matches_single_process():
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=1200)
+        out, _ = p.communicate(timeout=2000)
         outs.append(out)
         assert p.returncode == 0, f"worker failed:\n{out}"
     results = []
@@ -110,9 +110,14 @@ def _epoch_losses(text):
 
 
 def _make_toy_study(root):
-    from e2e_helpers import make_design_csv, make_subject_tree
+    from e2e_helpers import SMALL_SHAPE, make_design_csv, make_subject_tree
 
-    make_subject_tree(root, n_subjs=2, n_vols=8, seed=0)
+    # SMALL grid: the 2 concurrent workers must reach each new collective
+    # within Gloo's hardcoded 30s KV-rendezvous window; full-grid compiles
+    # on this 1-core host diverge past it and kill the context init
+    # (observed: "Gloo context initialization failed: DEADLINE_EXCEEDED")
+    make_subject_tree(root, n_subjs=2, n_vols=8, seed=0,
+                      img_shape=SMALL_SHAPE)
     make_design_csv(root, os.path.join(root, "train.csv"))
     make_design_csv(root, os.path.join(root, "test.csv"))
 
@@ -124,17 +129,19 @@ def _single_process_cli(workdir, mode, tag):
         env["VAEGAM_CACHE_MAX_BYTES"] = "1"
     code = (
         "import sys; sys.path.insert(0, %r); "
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
         "from vaegam_tpu.cli.train import main; "
         "main(['--train_csv', %r, '--test_csv', %r, '--save_dir', %r, "
         "'--epochs', '2', '--batch-size', '4', '--nf', '2', "
-        "'--num_latents', '8', '--save_freq', '1', '--test_freq', '1'])"
+        "'--num_latents', '8', '--save_freq', '1', '--test_freq', '1', "
+        "'--img_shape', '21', '25', '21'])"
         % (os.path.dirname(HERE),
            os.path.join(workdir, "train.csv"),
            os.path.join(workdir, "test.csv"),
            os.path.join(workdir, f"out_single_{tag}"))
     )
     out = subprocess.run([sys.executable, "-c", code], env=env,
-                         capture_output=True, text=True, timeout=1200)
+                         capture_output=True, text=True, timeout=2000)
     assert out.returncode == 0, f"single-process run failed:\n{out.stdout}\n{out.stderr}"
     return _epoch_losses(out.stdout)
 
@@ -157,7 +164,7 @@ def test_multihost_cli_end_to_end_matches_single_process(mode, tmp_path):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=1200)
+        out, _ = p.communicate(timeout=2000)
         outs.append(out)
         assert p.returncode == 0, f"worker failed:\n{out}"
     for out in outs:

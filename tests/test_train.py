@@ -179,6 +179,9 @@ def test_x64_epsilon_mode(setup, tmp_path):
     train, _, _ = setup
     code = textwrap.dedent(f"""
         import jax
+        # platform pin first: with the TPU tunnel down, device init
+        # otherwise hangs on the axon platform despite JAX_PLATFORMS=cpu
+        jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
         import jax.numpy as jnp
         import numpy as np
