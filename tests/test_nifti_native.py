@@ -60,6 +60,43 @@ def test_decode_many_parallel(tmp_path):
         np.testing.assert_array_equal(got, want)
 
 
+def test_prewarm_parallel_ingestion(tmp_path):
+    """Dataset.prewarm pool-decodes every distinct subject file once and
+    gather() afterward returns exactly the lazily-decoded batches."""
+    import pandas as pd
+
+    from vaegam_tpu.data import FMRIDataset
+
+    rng = np.random.default_rng(3)
+    rows = []
+    vols_by_file = {}
+    for s in range(4):
+        vols = rng.uniform(0, 3000, size=(7, 6, 5, 3)).astype(np.float32)
+        nii = str(tmp_path / f"subj{s}.nii.gz")
+        nifti.save(nifti.Nifti1Image(vols, np.eye(4)), nii)
+        vols_by_file[nii] = vols
+        for v in range(3):
+            rows.append((f"s{s}", v, nii, 1, .1, .2, .3, .4, .5, .6, 0))
+    df = pd.DataFrame(rows, columns=["subjid", "volume #", "nii_path", "task",
+                                     "x", "y", "z", "rot_x", "rot_y", "rot_z",
+                                     "sex"])
+    csv = str(tmp_path / "d.csv")
+    df.to_csv(csv)
+
+    lazy = FMRIDataset(csv)
+    warm = FMRIDataset(csv, cache_items=2)  # prewarm must grow the LRU
+    warm.prewarm()
+    assert all(p in warm._cache for p in vols_by_file)
+    idxs = np.arange(len(df))
+    got = warm.gather(idxs)
+    want = lazy.gather(idxs)
+    for k in ("covariates", "volume", "subjid", "vol_num"):
+        np.testing.assert_array_equal(got[k], want[k])
+    # idempotent: a second prewarm decodes nothing (cache keys unchanged)
+    warm.prewarm()
+    assert len(warm._cache._cache) == len(vols_by_file)
+
+
 def test_native_error_codes(tmp_path):
     with pytest.raises(ValueError):
         nifti_native.decode_f32(str(tmp_path / "missing.nii"))

@@ -48,12 +48,19 @@ class _VolumeCache:
             from ..utils import nifti_native
 
             arr = nifti_native.decode_f32(path)  # native C++ path w/ fallback
-            self._cache[path] = arr
-            if len(self._cache) > self.max_items:
-                self._cache.popitem(last=False)
+            self.put(path, arr)
         else:
             self._cache.move_to_end(path)
         return arr
+
+    def put(self, path: str, arr: np.ndarray) -> None:
+        self._cache[path] = arr
+        self._cache.move_to_end(path)
+        while len(self._cache) > self.max_items:
+            self._cache.popitem(last=False)
+
+    def __contains__(self, path: str) -> bool:
+        return path in self._cache
 
 
 class FMRIDataset:
@@ -93,6 +100,29 @@ class FMRIDataset:
             "subjid": self._subj_idx[idx],
             "vol_num": np.int64(vol_num),
         }
+
+    def prewarm(self, rows: np.ndarray = None, n_threads: int = 0) -> None:
+        """Decode every distinct subject file for `rows` in ONE parallel pass.
+
+        Cold-start ingestion (device-cache builds, first-epoch streaming of a
+        new study) otherwise decodes subjects one at a time; the native
+        thread pool (utils/nifti_native.decode_many_f32, GIL-free C++)
+        overlaps the zlib-inflate + dtype-convert work across cores.  Grows
+        the LRU to hold every prewarmed file — callers are about to
+        materialize the whole selection anyway, so host RAM is already
+        bounded by the dataset size.
+        """
+        paths = self._nii_paths if rows is None else self._nii_paths[rows]
+        todo = [p for p in dict.fromkeys(paths) if p not in self._cache]
+        if not todo:
+            return
+        self._cache.max_items = max(
+            self._cache.max_items, len(self._cache._cache) + len(todo)
+        )
+        from ..utils import nifti_native
+
+        for p, arr in zip(todo, nifti_native.decode_many_f32(todo, n_threads)):
+            self._cache.put(p, arr)
 
     def gather(self, idxs: np.ndarray) -> Dict[str, np.ndarray]:
         """Materialize one batch as stacked arrays (one device_put later)."""

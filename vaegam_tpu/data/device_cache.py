@@ -103,6 +103,9 @@ class DeviceResidentLoader:
                     f"{max_bytes >> 20} MiB cache limit — use the streaming "
                     "DataLoader instead"
                 )
+            # parallel cold-start decode of every subject file (native
+            # thread pool) before the single big gather
+            dataset.prewarm(self._rows)
             host = dataset.gather(self._rows)
 
         self.mesh = mesh
