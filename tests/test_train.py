@@ -165,6 +165,43 @@ def test_fused_epoch_periodic_figure_logging(setup, tmp_path):
                for t in figure_tags), tags
 
 
+def test_fused_step_restores_fp32_from_bf16_cache(setup, tmp_path):
+    """The gather-fused train step indexes the RAW HBM cache array, which
+    may be stored bfloat16 (cache_dtype="bfloat16"); it must cast the
+    gathered volumes back to float32 exactly like the loader's own jitted
+    gather does.  Regression: the fused step previously fed bf16 volumes
+    straight into the forward, silently shifting numerics vs the plain
+    (loader-fed) step on the same cache."""
+    import jax.numpy as jnp
+
+    from vaegam_tpu.data.device_cache import DeviceResidentLoader
+
+    _, loaders, xu_ranges = setup
+    config = VAEGAMConfig(nf=2, num_latents=8, img_shape=SMALL_SHAPE)
+    batch = next(iter(loaders["UnShuffled_train"]))
+    vols = np.asarray(batch["volume"], np.float32)
+    covs = np.asarray(batch["covariates"], np.float32)
+    loader = DeviceResidentLoader.from_arrays(vols, covs, batch_size=4,
+                                              cache_dtype="bfloat16")
+    assert loader._vols.dtype == jnp.bfloat16
+
+    key = jax.random.PRNGKey(7)
+    _, sub = jax.random.split(key)  # the key the fused step derives
+    sel = np.arange(4)
+    t1 = Trainer(config, xu_ranges, glm_maps=None, save_dir=str(tmp_path),
+                 enable_tb=False, seed=3)
+    t2 = Trainer(config, xu_ranges, glm_maps=None, save_dir=str(tmp_path),
+                 enable_tb=False, seed=3)
+    _, _, _, loss_fused = t1._gather_train_step(
+        t1.params, t1.opt_state, key, loader._vols, loader._covs, sel
+    )
+    xg, cg = loader._gather(loader._vols, loader._covs, sel)
+    assert xg.dtype == jnp.float32
+    _, _, loss_plain, _ = t2._train_step(t2.params, t2.opt_state, sub, cg, xg)
+    np.testing.assert_allclose(float(loss_fused), float(loss_plain),
+                               rtol=1e-6)
+
+
 @pytest.mark.slow
 def test_x64_epsilon_mode(setup, tmp_path):
     """Opt-in fp64 epsilon (reference vae_reg_GP.py:54): storage/Adam in

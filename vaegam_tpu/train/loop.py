@@ -158,7 +158,10 @@ class Trainer:
         def step(params, opt_state, key, vols, covs_all, idx):
             key, sub = jax.random.split(key)
             covariates = jnp.take(covs_all, idx, axis=0)
-            x = jnp.take(vols, idx, axis=0)
+            # restore float32 from reduced-precision HBM caches
+            # (cache_dtype="bfloat16") — mirrors the loader's own jitted
+            # gather; a no-op cast for float32 caches
+            x = jnp.take(vols, idx, axis=0).astype(jnp.float32)
             if batch_sharding is not None:
                 covariates = jax.lax.with_sharding_constraint(
                     covariates, batch_sharding
