@@ -435,3 +435,71 @@ def test_import_torch_checkpoint_roundtrip(ref_modules, tmp_path):
         mu_t, _, _ = model.encode(torch.tensor(x))
     mu_j, _, _ = encode(trainer.params["enc"], jnp.asarray(x), model.nf)
     np.testing.assert_allclose(np.asarray(mu_j), mu_t.numpy(), atol=2e-5)
+
+
+def test_export_torch_checkpoint_reference_loads(ref_modules, ported,
+                                                 tmp_path):
+    """framework checkpoint -> export CLI -> the ACTUAL reference load_state.
+
+    The gold test for the export direction (cli.export_torch_ckpt): a
+    differently-initialized reference VAE loads the exported .tar via its
+    own load_state (vae_reg_GP.py:473-539) — torch.load defaults and the
+    optimizer state-dict contract included — and ends up with every layer,
+    the epsilon map, and the full gp_params bank equal to the source model.
+    """
+    import jax
+    import optax
+
+    _, _, ref_vae, model, _ = ref_modules
+    params, xu = ported
+
+    from vaegam_tpu.cli.export_torch_ckpt import convert
+    from vaegam_tpu.models.vaegam import hrf_kernel
+    from vaegam_tpu.train.checkpoint import save_checkpoint
+
+    params_np = jax.tree_util.tree_map(lambda a: np.asarray(a), params)
+    ours = str(tmp_path / "ours.tar")
+    save_checkpoint(
+        ours, params_np, optax.adam(1e-3).init(params_np),
+        epoch=int(model.epoch), loss={"train": {}, "test": {}},
+        z_dim=int(model.z_dim), lr=float(model.lr), save_dir=str(tmp_path),
+        glm_reg_scale=float(model.glm_reg_scale),
+        gp_kl_scale=float(model.gp_kl_scale),
+        inducing_pts=int(model.inducing_pts),
+        consts={"xu": np.asarray(xu), "hrf": np.asarray(hrf_kernel()),
+                "glm_maps": None},
+    )
+    exported = str(tmp_path / "exported.tar")
+    convert(ours, exported)
+
+    csv, glm2 = _write_ref_inputs(tmp_path, seed=0)
+    torch.manual_seed(12345)  # different init: load_state must replace all
+    model2 = ref_vae.VAE(
+        save_dir=str(tmp_path / "out2"), glm_maps=glm2,
+        csv_files=[csv, csv], neural_covariates=True,
+    )
+    model2.load_state(exported)
+    model2.eval()
+
+    l1, l2 = model._get_layers(), model2._get_layers()
+    for name in l1:
+        sd1, sd2 = l1[name].state_dict(), l2[name].state_dict()
+        assert set(sd1) == set(sd2), name
+        for k in sd1:
+            np.testing.assert_array_equal(
+                sd1[k].detach().cpu().numpy(), sd2[k].detach().cpu().numpy(),
+                err_msg=f"{name}.{k}",
+            )
+    # epsilon crossed fp64 -> fp32 -> fp64 once (framework stores fp32)
+    np.testing.assert_allclose(
+        model2.epsilon.detach().cpu().numpy(),
+        model.epsilon.detach().cpu().numpy(), atol=1e-6,
+    )
+    for cov, d in model.gp_params.items():
+        for k, v in d.items():
+            np.testing.assert_array_equal(
+                model2.gp_params[cov][k].detach().cpu().numpy(),
+                v.detach().cpu().numpy(), err_msg=f"gp_params.{cov}.{k}",
+            )
+    assert model2.epoch == model.epoch
+    assert float(model2.gp_kl_scale) == float(model.gp_kl_scale)
