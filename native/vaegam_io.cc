@@ -186,6 +186,63 @@ int vaegam_nifti_decode_f32(const char* path, float* out, int64_t out_elems,
   return decode_to_f32(path, out, out_elems, dims_out);
 }
 
+// Write n single-file NIfTI-1 volumes in parallel (the output stage's
+// batch writer: the recon pass emits 10 maps x batch files per dispatch —
+// vae_reg_GP.py:605-620 writes these synchronously one by one; here the
+// encode (C->Fortran voxel transpose) and file writes run off the GIL on a
+// worker pool, overlapped with the next batch's device compute).
+//
+// header: the 352-byte pre-encoded header+pad, shared by all volumes
+//         (same shape/dtype/affine per flush; per-subject templates are
+//         grouped by the caller).
+// data:   contiguous float32, n volumes x (d0*d1*d2) elements, each volume
+//         C-ordered over dims (d0,d1,d2).  Written in Fortran order as
+//         NIfTI requires.
+// Returns per-file status: 0 ok, -1 open failure, -2 short write.
+void vaegam_nifti_write_batch_f32(const char* header, int64_t header_len,
+                                  const float* data, int64_t d0, int64_t d1,
+                                  int64_t d2, const char** paths,
+                                  int* statuses, int n, int n_threads) {
+  const int64_t vox = d0 * d1 * d2;
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> pool;
+  std::vector<int> next(1, 0);
+  std::mutex mu;
+  auto worker = [&]() {
+    std::vector<float> fbuf(static_cast<size_t>(vox));
+    while (true) {
+      int i;
+      {
+        std::lock_guard<std::mutex> lock(mu);
+        if (next[0] >= n) return;
+        i = next[0]++;
+      }
+      const float* src = data + static_cast<int64_t>(i) * vox;
+      // C-order (i0 slowest) -> Fortran order (i0 fastest): dst linear
+      // index i0 + i1*d0 + i2*d0*d1 reads src[i0*d1*d2 + i1*d2 + i2].
+      for (int64_t i2 = 0; i2 < d2; ++i2)
+        for (int64_t i1 = 0; i1 < d1; ++i1) {
+          float* dst = fbuf.data() + i1 * d0 + i2 * d0 * d1;
+          const float* s = src + i1 * d2 + i2;
+          for (int64_t i0 = 0; i0 < d0; ++i0)
+            dst[i0] = s[i0 * d1 * d2];
+        }
+      FILE* f = std::fopen(paths[i], "wb");
+      if (!f) { statuses[i] = -1; continue; }
+      bool ok =
+          std::fwrite(header, 1, static_cast<size_t>(header_len), f) ==
+              static_cast<size_t>(header_len) &&
+          std::fwrite(fbuf.data(), sizeof(float), static_cast<size_t>(vox),
+                      f) == static_cast<size_t>(vox);
+      std::fclose(f);
+      statuses[i] = ok ? 0 : -2;
+    }
+  };
+  int k = n_threads < n ? n_threads : n;
+  for (int t = 0; t < k; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
 // Decode n files in parallel with up to n_threads workers.
 // outs[i] must be preallocated with out_elems[i] capacity.
 // statuses[i] receives the per-file return code.

@@ -126,3 +126,55 @@ def test_dataset_uses_native_path(tmp_path):
     item = ds[2]
     np.testing.assert_allclose(item["volume"], vols[:, :, :, 2] / 3284.5,
                                rtol=1e-6)
+
+
+def test_native_batch_writer_byte_identical(tmp_path):
+    """write_batch_f32 must emit the exact bytes of utils.nifti.save."""
+    if not nifti_native.writer_available():
+        pytest.skip("native writer symbol absent (stale .so)")
+    rng = np.random.default_rng(7)
+    shape = (11, 9, 7)
+    affine = np.array([[2.0, 0, 0, -13.0], [0, 2.0, 0, 5.0],
+                       [0, 0, 2.0, 1.0], [0, 0, 0, 1.0]])
+    # a reference header carrying non-default fields that must survive
+    ref_hdr = nifti.Nifti1Header.default()
+    ref_hdr["descrip"] = b"ref-desc"
+    ref_hdr["pixdim"] = [1, 2, 2, 2, 1.4, 1, 1, 1]
+
+    n = 5
+    data = rng.normal(size=(n, int(np.prod(shape)))).astype(np.float32)
+    header = nifti.encode_header(ref_hdr, shape, np.float32, affine)
+    native_paths = [str(tmp_path / f"nat_{i}.nii") for i in range(n)]
+    nifti_native.write_batch_f32(header, data, shape, native_paths)
+
+    for i in range(n):
+        py_path = str(tmp_path / f"py_{i}.nii")
+        nifti.save(
+            nifti.Nifti1Image(data[i].reshape(shape), affine, ref_hdr),
+            py_path,
+        )
+        with open(py_path, "rb") as f:
+            expected = f.read()
+        with open(native_paths[i], "rb") as f:
+            got = f.read()
+        assert got == expected
+    # and the decode round-trips
+    back = np.asarray(nifti.load(native_paths[2]).dataobj)
+    np.testing.assert_array_equal(back, data[2].reshape(shape))
+
+
+def test_native_batch_writer_fallback(tmp_path, monkeypatch):
+    """The pure-Python fallback path writes the same bytes too."""
+    rng = np.random.default_rng(8)
+    shape = (5, 4, 3)
+    data = rng.normal(size=(2, 60)).astype(np.float32)
+    header = nifti.encode_header(None, shape, np.float32, np.eye(4))
+    monkeypatch.setattr(nifti_native, "writer_available", lambda: False)
+    paths = [str(tmp_path / f"fb_{i}.nii") for i in range(2)]
+    nifti_native.write_batch_f32(header, data, shape, paths)
+    py = str(tmp_path / "fb_ref.nii")
+    nifti.save(nifti.Nifti1Image(data[1].reshape(shape), np.eye(4)), py)
+    with open(py, "rb") as f:
+        expected = f.read()
+    with open(paths[1], "rb") as f:
+        assert f.read() == expected

@@ -27,14 +27,27 @@ import pandas as pd
 
 
 from ..models.vaegam import MAP_KEYS
-from ..utils import nifti
+from ..utils import nifti, nifti_native
 from ..parallel import is_main_process
 
-# NIfTI writes are pure host I/O; a small writer pool overlaps them with the
-# next batch's device compute (the reference writes thousands of small files
-# synchronously inside its recon loop, vae_reg_GP.py:605-620 — flagged as a
-# host-I/O hot spot in SURVEY.md §7)
+# NIfTI writes are pure host I/O.  The fast path hands each flush to the
+# native batch writer (native/vaegam_io.cc vaegam_nifti_write_batch_f32):
+# Fortran-transpose + encode + file writes run on a C++ thread pool with the
+# GIL released, overlapped with the next batch's device compute.  The
+# fallback (library not built) is a Python writer pool.  Either way this
+# replaces the reference's synchronous one-file-at-a-time loop
+# (vae_reg_GP.py:605-620 — flagged as a host-I/O hot spot in SURVEY.md §7).
 _WRITER_THREADS = min(8, (os.cpu_count() or 1) * 2)
+
+
+def _flush_native(header: bytes, maps, lo: int, hi: int, img_shape, paths):
+    """Write rows lo:hi of every map key (paths ordered key-major)."""
+    for k, key in enumerate(MAP_KEYS):
+        nifti_native.write_batch_f32(
+            header, maps[key][lo:hi], img_shape,
+            paths[k * (hi - lo):(k + 1) * (hi - lo)],
+            n_threads=_WRITER_THREADS,
+        )
 
 
 def reconstruct(trainer, loader, ref_niis: List[str], save_dirs: List[str]):
@@ -42,17 +55,83 @@ def reconstruct(trainer, loader, ref_niis: List[str], save_dirs: List[str]):
 
     Args mirror VAE.reconstruct (vae_reg_GP.py:585-594): ref_niis and
     save_dirs are indexed by the subject index found in each sample.
+
+    TPU-first pipeline (depth 2): batch k+1's forward is dispatched and
+    batch k's device->host map copies started (copy_to_host_async) before
+    batch k-1's files are encoded/written — device compute, the host
+    transfer and the native writer pool all overlap.
     """
     import jax
 
     img_shape = tuple(trainer.config.img_shape)
     ref_imgs = {}
+    headers = {}  # subj_idx -> encoded 352-byte header template
+
+    def subj_header(subj_idx: int) -> bytes:
+        if subj_idx not in headers:
+            if subj_idx not in ref_imgs:
+                ref_imgs[subj_idx] = nifti.load(ref_niis[subj_idx])
+            ref = ref_imgs[subj_idx]
+            headers[subj_idx] = nifti.encode_header(
+                ref.header, img_shape, np.float32, ref.affine
+            )
+        return headers[subj_idx]
+
     # multi-process: every process runs the (collective) maps forward —
     # eval outputs are gathered to replicated inside the jitted step — but
     # only the main process writes files (one writer per shared FS)
     write_files = is_main_process()
-    with ThreadPoolExecutor(max_workers=_WRITER_THREADS) as pool:
+    use_native = nifti_native.writer_available()
+
+    with ThreadPoolExecutor(max_workers=(1 if use_native
+                                         else _WRITER_THREADS)) as pool:
         futures = []
+
+        def process(sample, dev_maps):
+            # block on the (already started) host copies, then hand the
+            # writes to the pool; group contiguous same-subject runs so
+            # each native flush shares one header template
+            maps = {k: np.asarray(v) for k, v in dev_maps.items()}
+            n = len(sample["subjid"])
+            lo = 0
+            while lo < n:
+                subj_idx = int(sample["subjid"][lo])
+                hi = lo
+                while hi < n and int(sample["subjid"][hi]) == subj_idx:
+                    hi += 1
+                paths = []
+                for key in MAP_KEYS:
+                    for i in range(lo, hi):
+                        vol_dir = os.path.join(
+                            save_dirs[subj_idx],
+                            f"vol_{int(sample['vol_num'][i])}",
+                        )
+                        os.makedirs(vol_dir, exist_ok=True)
+                        paths.append(
+                            os.path.join(vol_dir, f"recon_{key}.nii"))
+                if use_native:
+                    futures.append(pool.submit(
+                        _flush_native, subj_header(subj_idx), maps, lo, hi,
+                        img_shape, paths,
+                    ))
+                else:
+                    subj_header(subj_idx)  # populate ref_imgs[subj_idx]
+                    ref = ref_imgs[subj_idx]
+                    p = 0
+                    for key in MAP_KEYS:
+                        for i in range(lo, hi):
+                            recon = maps[key][i].reshape(img_shape)
+                            futures.append(pool.submit(
+                                nifti.save,
+                                nifti.Nifti1Image(
+                                    recon.astype(np.float32),
+                                    ref.affine, ref.header),
+                                paths[p],
+                            ))
+                            p += 1
+                lo = hi
+
+        prev = None
         for sample in loader:
             covs, x = trainer._put_batch(sample)
             _, aux = trainer._maps_step(
@@ -60,22 +139,13 @@ def reconstruct(trainer, loader, ref_niis: List[str], save_dirs: List[str]):
             )
             if not write_files:
                 continue
-            maps = {k: np.asarray(v) for k, v in aux["maps"].items()}
-            for i in range(covs.shape[0]):
-                subj_idx = int(sample["subjid"][i])
-                vol_num = int(sample["vol_num"][i])
-                vol_dir = os.path.join(save_dirs[subj_idx], f"vol_{vol_num}")
-                os.makedirs(vol_dir, exist_ok=True)
-                if subj_idx not in ref_imgs:
-                    ref_imgs[subj_idx] = nifti.load(ref_niis[subj_idx])
-                ref = ref_imgs[subj_idx]
-                for key in MAP_KEYS:
-                    recon = maps[key][i].reshape(img_shape).astype(np.float32)
-                    futures.append(pool.submit(
-                        nifti.save,
-                        nifti.Nifti1Image(recon, ref.affine, ref.header),
-                        os.path.join(vol_dir, f"recon_{key}.nii"),
-                    ))
+            for v in aux["maps"].values():
+                v.copy_to_host_async()
+            if prev is not None:
+                process(*prev)
+            prev = (sample, aux["maps"])
+        if prev is not None:
+            process(*prev)
         for f in futures:
             f.result()  # surface any write error
 
@@ -123,6 +193,7 @@ def mk_avg_maps(csv_file: str, trainer, save_dir: str,
     dset = pd.read_csv(csv_file)
     ref_niis = dset.nii_path.unique().tolist()
     subjs = dset.subjid.unique().tolist()
+    ref_cache = {}  # one 4D reference load per subject, reused across keys
     maps = list(MAP_KEYS)
     # reference order: base, task, full_rec, then motion, then sex
     maps = ["base", "task", "full_rec", "x_mot", "y_mot", "z_mot",
@@ -145,14 +216,18 @@ def mk_avg_maps(csv_file: str, trainer, save_dir: str,
                 )
                 subj_map += vol
             subj_map /= len(vol_dirs)
-            _save_map(subj_map, ref_niis[s], subj_avg_dir, key)
+            _save_map(subj_map, ref_niis[s], subj_avg_dir, key, ref_cache)
             gd_avg += subj_map
         gd_avg /= len(subjs)
-        _save_map(gd_avg, ref_niis[0], avg_vols_dir, key)
+        _save_map(gd_avg, ref_niis[0], avg_vols_dir, key, ref_cache)
 
 
-def _save_map(map_arr, reference, save_dir, ext):
-    ref = nifti.load(reference)
+def _save_map(map_arr, reference, save_dir, ext, ref_cache=None):
+    if ref_cache is None:
+        ref_cache = {}
+    if reference not in ref_cache:
+        ref_cache[reference] = nifti.load(reference)
+    ref = ref_cache[reference]
     nifti.save(
         nifti.Nifti1Image(map_arr.astype(np.float32), ref.affine, ref.header),
         os.path.join(save_dir, f"{ext}_avg.nii"),

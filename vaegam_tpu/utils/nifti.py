@@ -255,6 +255,39 @@ def load(path: str) -> Nifti1Image:
     return img
 
 
+def encode_header(header: Nifti1Header | None, shape, dtype,
+                  affine=None) -> bytes:
+    """Serialize the 348-byte header + 4-byte extension pad for a write.
+
+    Shared by :func:`save` and the native batch writer
+    (utils.nifti_native.write_batch_f32) so both producers emit identical
+    file bytes for the same (header, shape, dtype, affine).
+    """
+    hdr = (header or Nifti1Header.default()).copy()
+    rec = np.zeros((), dtype=_header_dtype("<"))
+    # copy all template fields over, then override geometry/dtype/scaling
+    for name in rec.dtype.names:
+        rec[name] = hdr._rec[name]
+    rec["sizeof_hdr"] = _HDR_SIZE
+    dim = np.ones(8, dtype=np.int16)
+    dim[0] = len(shape)
+    dim[1 : 1 + len(shape)] = shape
+    rec["dim"] = dim
+    rec["datatype"] = _CODES[np.dtype(dtype).newbyteorder("=")]
+    rec["bitpix"] = np.dtype(dtype).itemsize * 8
+    rec["vox_offset"] = 352.0
+    rec["scl_slope"] = 1.0
+    rec["scl_inter"] = 0.0
+    rec["magic"] = _MAGIC_SINGLE
+    if affine is not None:
+        aff = np.asarray(affine, dtype=np.float64)
+        rec["sform_code"] = max(1, int(rec["sform_code"]))
+        rec["srow_x"] = aff[0, :]
+        rec["srow_y"] = aff[1, :]
+        rec["srow_z"] = aff[2, :]
+    return rec.tobytes() + b"\x00\x00\x00\x00"
+
+
 def save(img: Nifti1Image, path: str) -> None:
     """Write a single-file NIfTI-1 (.nii or .nii.gz)."""
     data = np.asarray(img._data.__array__() if isinstance(img._data, _ArrayProxy) else img._data)
@@ -263,30 +296,8 @@ def save(img: Nifti1Image, path: str) -> None:
     # always write little-endian
     data_le = data.astype(data.dtype.newbyteorder("<"), copy=False)
 
-    hdr = (img.header or Nifti1Header.default()).copy()
-    rec = np.zeros((), dtype=_header_dtype("<"))
-    # copy all template fields over, then override geometry/dtype/scaling
-    for name in rec.dtype.names:
-        rec[name] = hdr._rec[name]
-    rec["sizeof_hdr"] = _HDR_SIZE
-    dim = np.ones(8, dtype=np.int16)
-    dim[0] = data.ndim
-    dim[1 : 1 + data.ndim] = data.shape
-    rec["dim"] = dim
-    rec["datatype"] = _CODES[np.dtype(data_le.dtype.newbyteorder("="))]
-    rec["bitpix"] = data_le.dtype.itemsize * 8
-    rec["vox_offset"] = 352.0
-    rec["scl_slope"] = 1.0
-    rec["scl_inter"] = 0.0
-    rec["magic"] = _MAGIC_SINGLE
-    if img.affine is not None:
-        aff = np.asarray(img.affine, dtype=np.float64)
-        rec["sform_code"] = max(1, int(rec["sform_code"]))
-        rec["srow_x"] = aff[0, :]
-        rec["srow_y"] = aff[1, :]
-        rec["srow_z"] = aff[2, :]
-
-    payload = rec.tobytes() + b"\x00\x00\x00\x00" + data_le.flatten(order="F").tobytes()
+    payload = (encode_header(img.header, data.shape, data_le.dtype.newbyteorder("="), img.affine)
+               + data_le.flatten(order="F").tobytes())
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with _open_maybe_gz(path, "wb") as f:
         f.write(payload)

@@ -50,6 +50,24 @@ def _load_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.c_int,
         ]
+        try:
+            write_fn = lib.vaegam_nifti_write_batch_f32
+        except AttributeError:
+            write_fn = None  # stale .so built before the writer existed
+        if write_fn is not None:
+            write_fn.restype = None
+            write_fn.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
         _lib = lib
         return lib
     return None
@@ -89,6 +107,48 @@ def decode_f32(path: str) -> np.ndarray:
     if rc != 0:
         raise ValueError(f"native nifti decode failed ({rc}): {path}")
     return buf.reshape(shape, order="F")
+
+
+def writer_available() -> bool:
+    lib = _load_lib()
+    return lib is not None and hasattr(lib, "vaegam_nifti_write_batch_f32")
+
+
+def write_batch_f32(header: bytes, data: np.ndarray, shape, paths: List[str],
+                    n_threads: int = 0) -> None:
+    """Write n single-file .nii volumes with the native thread pool.
+
+    ``header`` is the pre-encoded 352-byte header+pad (utils.nifti.
+    encode_header — shared by all volumes in the flush), ``data`` a
+    contiguous float32 (n, prod(shape)) array with each row C-ordered over
+    ``shape``; the native side transposes to Fortran voxel order and writes
+    header+payload, identical bytes to utils.nifti.save.  Falls back to the
+    pure-Python writer when the library lacks the symbol.
+    """
+    d0, d1, d2 = (int(s) for s in shape)
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    if not writer_available():
+        for row, path in zip(data, paths):
+            raw = header + row.astype("<f4").reshape(
+                (d0, d1, d2)).flatten(order="F").tobytes()
+            with open(path, "wb") as f:
+                f.write(raw)
+        return
+    lib = _load_lib()
+    n = len(paths)
+    if n_threads <= 0:
+        n_threads = min(8, (os.cpu_count() or 1) * 2)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    c_status = (ctypes.c_int * n)()
+    lib.vaegam_nifti_write_batch_f32(
+        header, len(header),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        d0, d1, d2, c_paths, c_status, n, n_threads,
+    )
+    bad = [(paths[i], int(c_status[i])) for i in range(n) if c_status[i] != 0]
+    if bad:
+        raise OSError(f"native nifti write failed: {bad[:3]}"
+                      f"{' ...' if len(bad) > 3 else ''}")
 
 
 def decode_many_f32(paths: List[str], n_threads: int = 0) -> List[np.ndarray]:
