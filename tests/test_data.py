@@ -259,3 +259,30 @@ def test_wide_eval_view(csvs):
     capped = wide_eval_view(DataLoader(ds, batch_size=4), img_dim,
                             width=128, max_map_bytes=10 * img_dim * 4 * 5)
     assert capped.batch_size == 5
+
+
+def test_half_precision_float16_wire_and_cache(csvs):
+    """float16 wire/cache: same bytes as bfloat16, 8x finer quantization
+    for the [0,1]-scaled volumes (10- vs 7-bit mantissa)."""
+    import jax.numpy as jnp
+
+    from vaegam_tpu.data import PrefetchLoader
+    from vaegam_tpu.data.device_cache import DeviceResidentLoader
+
+    _, train = csvs
+    ds = FMRIDataset(train)
+    fp32 = DeviceResidentLoader(ds, batch_size=4, shuffle=False)
+    f16 = DeviceResidentLoader(ds, batch_size=4, shuffle=False,
+                               cache_dtype="float16")
+    assert f16._vols.dtype == jnp.float16
+    assert f16._vols.nbytes == fp32._vols.nbytes // 2
+    a = np.asarray(next(iter(fp32))["volume"])
+    b = np.asarray(next(iter(f16))["volume"])
+    assert next(iter(f16))["volume"].dtype == jnp.float32
+    np.testing.assert_allclose(a, b, atol=5e-4)  # 8x tighter than bf16's 4e-3
+
+    stream = PrefetchLoader(ds, batch_size=4, shuffle=False,
+                            transfer_dtype="float16")
+    c = np.asarray(next(iter(stream))["volume"])
+    assert next(iter(stream))["volume"].dtype == jnp.float32
+    np.testing.assert_allclose(a, c, atol=5e-4)

@@ -97,12 +97,14 @@ def build_parser():
     parser.add_argument("--device_data_cache", type=str2bool, nargs="?",
                         const=True, default=True,
                         help="Upload the whole dataset to device HBM once and gather batches on device (falls back to the streaming loader for datasets over 4 GiB).")
-    parser.add_argument("--cache_dtype", choices=["auto", "float32", "bfloat16"],
+    parser.add_argument("--cache_dtype",
+                        choices=["auto", "float32", "bfloat16", "float16"],
                         default="auto",
-                        help="HBM device-cache precision. auto (default): float32 when it fits the budget, else a bfloat16 cache (half the bytes, float32 restored inside the jitted gather; input quantization ~1e-3 of the 0..1 range).")
-    parser.add_argument("--stream_dtype", choices=["float32", "bfloat16"],
+                        help="HBM device-cache precision. auto (default): float32 when it fits the budget, else a bfloat16 cache (half the bytes, float32 restored inside the jitted gather; input quantization ~1e-3 of the 0..1 range). float16: same bytes as bfloat16, 8x finer mantissa for the [0,1]-scaled volumes.")
+    parser.add_argument("--stream_dtype",
+                        choices=["float32", "bfloat16", "float16"],
                         default="float32",
-                        help="Host->device wire precision for the streaming prefetch fallback. bfloat16 halves the transfer bytes (the binding resource on remote-attached hosts); float32 restored on device.")
+                        help="Host->device wire precision for the streaming prefetch fallback. bfloat16/float16 halve the transfer bytes (the binding resource on remote-attached hosts); float32 restored on device.")
     parser.add_argument("--eval_batch_size", type=int, metavar="N", default=0,
                         help="Batch width for the post-training output stage (latent projection + volume reconstruction). 0 (default) reuses --batch-size for exact recon comparability with the reference (batch-stat norms make outputs batch-size-dependent). N>0 (e.g. 128) widens the eval dispatches for MXU occupancy; capped so the 10-map output block fits HBM.")
     parser.add_argument("--x64_epsilon", type=str2bool, nargs="?", const=True,

@@ -30,11 +30,13 @@ HOST-memory device-less concern and is refused under a multi-process mesh —
 process-local shards stamped with a global sharding were round-2's one
 latent correctness bug (VERDICT r2 Weak #1).
 
-Cache precision: cache_dtype="bfloat16" stores the HBM cache at half the
-footprint (doubling the dataset-size budget) and casts back to float32
-inside the jitted gather.  Step numerics are unchanged up to input
-quantization (~1e-3 of the 0..1 intensity range — inside the measured
-control-oracle band, docs/CONTROL_EXPERIMENT.md).
+Cache precision: cache_dtype="bfloat16"/"float16" stores the HBM cache at
+half the footprint (doubling the dataset-size budget) and casts back to
+float32 inside the jitted gather.  Step numerics are unchanged up to input
+quantization — ~1e-3 of the 0..1 intensity range for bfloat16 (inside the
+measured control-oracle band, docs/CONTROL_EXPERIMENT.md), 8x finer for
+float16 (10- vs 7-bit mantissa; the /3284.5-scaled volumes sit in [0,1],
+far from f16's range limits, so range costs nothing here).
 """
 
 from __future__ import annotations
@@ -51,7 +53,8 @@ from .dataset import FMRIDataset
 
 DEFAULT_MAX_BYTES = 4 << 30  # refuse to cache datasets larger than 4 GB
 
-_CACHE_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+_CACHE_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+                 "float16": jnp.float16}
 
 
 class DeviceResidentLoader:

@@ -33,12 +33,14 @@ gather from.  On the tunnel-attached bench host the transfer link, not
 dispatch count, binds the streaming rate (docs/PERFORMANCE.md), so the
 per-batch device_put + step is the measured-right call here.
 
-transfer_dtype="bfloat16" halves the host->device bytes per volume (the
-binding resource on tunnel-attached hosts: ~55 MB/s and 3.6 MB/volume at
-MNI grid = a 16 vols/s fp32 ceiling) by casting volumes to bfloat16 on the
-host and restoring float32 in a tiny jitted on-device cast.  Step numerics
-change only by input quantization (~1e-3 of the 0..1 intensity range —
-same class as the bf16 device cache, inside the measured oracle band).
+transfer_dtype="bfloat16"/"float16" halves the host->device bytes per
+volume (the binding resource on tunnel-attached hosts: ~55 MB/s and
+3.6 MB/volume at MNI grid = a 16 vols/s fp32 ceiling) by casting volumes
+to half precision on the host and restoring float32 in a tiny jitted
+on-device cast.  Step numerics change only by input quantization (~1e-3
+of the 0..1 intensity range for bfloat16 — same class as the bf16 device
+cache, inside the measured oracle band; float16 carries the same bytes
+with 8x finer mantissa).
 """
 
 from __future__ import annotations
@@ -95,12 +97,18 @@ class PrefetchLoader:
             NamedSharding(mesh, P("data")) if mesh is not None else None
         )
         self.transfer_dtype = None
-        if transfer_dtype == "bfloat16":
-            import ml_dtypes  # jax dependency; numpy bfloat16 view
+        if transfer_dtype in ("bfloat16", "float16"):
+            if transfer_dtype == "bfloat16":
+                import ml_dtypes  # jax dependency; numpy bfloat16 view
 
-            self.transfer_dtype = ml_dtypes.bfloat16
-            # donate the bf16 wire buffer; the cast output inherits the
-            # input sharding via jit's sharding propagation
+                self.transfer_dtype = ml_dtypes.bfloat16
+            else:
+                # same bytes as bfloat16 but 10- vs 7-bit mantissa: 8x
+                # finer quantization for the [0,1]-scaled volumes (range
+                # is irrelevant after the /3284.5 normalization)
+                self.transfer_dtype = np.float16
+            # donate the half-precision wire buffer; the cast output
+            # inherits the input sharding via jit's sharding propagation
             self._upcast = jax.jit(
                 lambda v: v.astype(jax.numpy.float32), donate_argnums=0
             )
