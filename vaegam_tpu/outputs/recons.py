@@ -207,13 +207,13 @@ def mk_avg_maps(csv_file: str, trainer, save_dir: str,
             vol_dirs = os.listdir(subj_dir)
             subj_avg_dir = os.path.join(avg_vols_dir, subj)
             os.makedirs(subj_avg_dir, exist_ok=True)
+            paths = [os.path.join(subj_dir, vd, f"recon_{key}.nii")
+                     for vd in vol_dirs]
+            # native pooled decode of the written per-volume files (same
+            # read-back-from-disk semantics as build_model_recons.py:86-92,
+            # C++ decoder instead of one Python parse per file)
             subj_map = np.zeros(img_shape, np.float64)
-            for vd in vol_dirs:
-                vol = np.asarray(
-                    nifti.load(
-                        os.path.join(subj_dir, vd, f"recon_{key}.nii")
-                    ).dataobj
-                )
+            for vol in nifti_native.decode_many_f32(paths):
                 subj_map += vol
             subj_map /= len(vol_dirs)
             _save_map(subj_map, ref_niis[s], subj_avg_dir, key, ref_cache)
