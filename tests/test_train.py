@@ -247,3 +247,48 @@ def test_x64_epsilon_mode(setup, tmp_path):
                          cwd=os.path.dirname(os.path.dirname(__file__)))
     assert out.returncode == 0, out.stdout + out.stderr
     assert "X64_OK" in out.stdout
+
+
+def test_recon_wire_dtype_float16(setup, tmp_path):
+    """Opt-in f16 device->host wire for the recon maps: the jitted maps
+    step emits float16 maps within f16 RELATIVE quantization (2^-11) of
+    the fp32 path, and the written recon files stay float32 on disk."""
+    import jax.numpy as jnp
+
+    from vaegam_tpu.outputs import mk_single_volumes
+    from vaegam_tpu.utils import nifti
+
+    train, loaders, xu_ranges = setup
+    config = VAEGAMConfig(nf=2, num_latents=8, img_shape=SMALL_SHAPE)
+    kw = dict(glm_maps=None, save_dir=str(tmp_path), seed=3, enable_tb=False)
+    t32 = Trainer(config, xu_ranges, **kw)
+    t16 = Trainer(config, xu_ranges, recon_wire_dtype="float16", **kw)
+
+    batch = next(iter(loaders["UnShuffled_train"]))
+    covs, x = t32._put_batch(batch)
+    _, aux32 = t32._maps_step(t32.params, t32._next_key(), covs, x)
+    _, aux16 = t16._maps_step(t16.params, t16._next_key(), covs, x)
+    assert aux16["maps"]["task"].dtype == jnp.float16
+    for key in aux32["maps"]:
+        np.testing.assert_allclose(
+            np.asarray(aux32["maps"][key], np.float32),
+            np.asarray(aux16["maps"][key], np.float32),
+            rtol=1.5e-3, atol=1e-3,  # f16: 2^-11 relative quantization
+        )
+
+    out32, out16 = str(tmp_path / "w32"), str(tmp_path / "w16")
+    mk_single_volumes(loaders["UnShuffled_train"], t32, train, out32)
+    mk_single_volumes(loaders["UnShuffled_train"], t16, train, out16)
+    rel = f"reconstructions/{str(t32.epoch).zfill(3)}_model_recons"
+    import glob as _glob
+    files32 = sorted(_glob.glob(os.path.join(out32, rel, "*", "*", "*.nii")))
+    assert files32
+    for f32 in files32[:12]:
+        f16 = f32.replace(out32, out16)
+        a = np.asarray(nifti.load(f32).dataobj)
+        b = np.asarray(nifti.load(f16).dataobj)
+        assert b.dtype == np.float32  # files stay fp32 on disk
+        np.testing.assert_allclose(a, b, rtol=1.5e-3, atol=1e-3)
+
+    with pytest.raises(ValueError):
+        Trainer(config, xu_ranges, recon_wire_dtype="int8", **kw)

@@ -105,8 +105,11 @@ def build_parser():
                         choices=["float32", "bfloat16", "float16"],
                         default="float32",
                         help="Host->device wire precision for the streaming prefetch fallback. bfloat16/float16 halve the transfer bytes (the binding resource on remote-attached hosts); float32 restored on device.")
+    parser.add_argument("--recon_wire_dtype",
+                        choices=["float32", "float16"], default="float32",
+                        help="Device->host wire precision for the recon output stage's 10 maps. float16 halves the transfer bytes (the binding resource on remote-attached hosts) at 2^-11 RELATIVE quantization (~5e-4*|value|: under 1e-3 absolute on [0,1] sigmoid-scale maps; gain-scaled motion maps reaching O(5) can deviate a few 1e-3). Written .nii files stay float32. Default float32 = bit-exact parity.")
     parser.add_argument("--eval_batch_size", type=int, metavar="N", default=0,
-                        help="Batch width for the post-training output stage (latent projection + volume reconstruction). 0 (default) reuses --batch-size for exact recon comparability with the reference (batch-stat norms make outputs batch-size-dependent). N>0 (e.g. 128) widens the eval dispatches for MXU occupancy; capped so the 10-map output block fits HBM.")
+                        help="Batch width for the post-training output stage (latent projection + volume reconstruction). 0 (default) reuses --batch-size for exact recon comparability with the reference (batch-stat norms make outputs batch-size-dependent) — with the pipelined native writer this is also the fastest recon width (docs/PERFORMANCE.md r3). N>0 widens the eval dispatches; capped so the 10-map output block fits HBM.")
     parser.add_argument("--x64_epsilon", type=str2bool, nargs="?", const=True,
                         default=False,
                         help="Store/update the per-voxel log-precision epsilon in float64 like the reference (vae_reg_GP.py:54; cast to fp32 in the log-likelihood like its .float()). Enables jax x64 mode — CPU parity studies only; TPUs have no native f64. Measured impact bound: <=9.5e-4 epsilon drift over 20 steps (tools/epsilon_precision_study.py).")
@@ -206,6 +209,7 @@ def main(argv=None):
         seed=args.seed, log_figs_every=args.log_figs_every, mesh=mesh,
         skip_nonfinite_updates=args.skip_nonfinite_updates,
         grad_clip=args.grad_clip,
+        recon_wire_dtype=args.recon_wire_dtype,
     )
 
     if args.from_ckpt:

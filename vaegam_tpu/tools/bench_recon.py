@@ -62,6 +62,9 @@ def main(argv=None):
                    help="encoder feature width (reference default 8); "
                         "small values for CPU smoke tests")
     p.add_argument("--num_latents", type=int, default=32)
+    p.add_argument("--recon_wire_dtype", choices=["float32", "float16"],
+                   default="float32",
+                   help="device->host map wire precision (see cli/train)")
     args = p.parse_args(argv)
 
     import jax
@@ -85,7 +88,8 @@ def main(argv=None):
     config = VAEGAMConfig(nf=args.nf, num_latents=args.num_latents)
     img_dim = config.img_dim
     trainer = Trainer(config, [[-2.0, 2.0]] * 6, glm_maps=None,
-                      seed=1, enable_tb=False)
+                      seed=1, enable_tb=False,
+                      recon_wire_dtype=args.recon_wire_dtype)
     base = DeviceResidentLoader(ds, batch_size=32, shuffle=False)
 
     results = {"n_vols_total": n}

@@ -66,12 +66,24 @@ class Trainer:
         enable_tb: bool = True,
         skip_nonfinite_updates: bool = True,
         grad_clip: float = 0.0,
+        recon_wire_dtype: str = "float32",
     ):
         self.config = config
         self.save_dir = save_dir
         self.lr = lr
         self.log_figs_every = log_figs_every
         self.mesh = mesh
+        # opt-in half-precision device->host wire for the recon maps: on
+        # remote-attached hosts the output stage is bound by the transfer
+        # link (docs/PERFORMANCE.md); float16 halves the bytes at 2^-11
+        # RELATIVE quantization (~5e-4 * |value|: well under 1e-3 absolute
+        # on the [0,1] sigmoid-scale base/task maps, but gain-scaled motion
+        # maps reaching O(5) can deviate a few 1e-3 absolute — hence
+        # opt-in).  Written files stay float32; default = bit-exact parity.
+        if recon_wire_dtype not in ("float32", "float16"):
+            raise ValueError(f"recon_wire_dtype {recon_wire_dtype!r}")
+        self._maps_wire = (jnp.float16 if recon_wire_dtype == "float16"
+                           else None)
         if save_dir:
             os.makedirs(save_dir, exist_ok=True)
 
@@ -180,11 +192,18 @@ class Trainer:
         config, consts = self.config, self.consts
         replicated = self._replicated
 
+        maps_wire = self._maps_wire
+
         def step(params, key, covariates, x):
             out = forward(
                 params, consts, key, covariates, x, config,
                 return_maps=return_maps,
             )
+            if return_maps and maps_wire is not None:
+                loss, aux = out
+                aux = dict(aux, maps={k: v.astype(maps_wire)
+                                      for k, v in aux["maps"].items()})
+                out = (loss, aux)
             if replicated is not None:
                 # output writers read these on host; in multi-controller
                 # runs a P('data')-sharded output is not addressable from
