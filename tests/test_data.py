@@ -166,9 +166,10 @@ def test_device_cache_bf16_and_shared_view(csvs):
                                   np.asarray(b))
 
 
-def test_setup_device_loaders_auto_bf16_fallback(csvs, capsys):
-    """auto cache_dtype: fp32 when it fits, bf16 when only that fits,
-    ValueError when nothing fits (callers fall back to streaming)."""
+def test_setup_device_loaders_auto_half_fallback(csvs, capsys):
+    """auto cache_dtype: fp32 when it fits, float16 when only half
+    precision fits (f16 over bf16: 8x finer mantissa for [0,1] volumes at
+    the same bytes), ValueError when nothing fits (callers stream)."""
     import jax.numpy as jnp
     import pytest as _pytest
 
@@ -183,7 +184,7 @@ def test_setup_device_loaders_auto_bf16_fallback(csvs, capsys):
     loaders = setup_device_loaders(batch_size=4, train_csv=train,
                                    test_csv=train,
                                    max_bytes=vols_bytes // 2)
-    assert loaders["Shuffled_train"]._vols.dtype == jnp.bfloat16
+    assert loaders["Shuffled_train"]._vols.dtype == jnp.float16
     with _pytest.raises(ValueError):
         setup_device_loaders(batch_size=4, train_csv=train, test_csv=train,
                              max_bytes=vols_bytes // 4)

@@ -100,7 +100,7 @@ def build_parser():
     parser.add_argument("--cache_dtype",
                         choices=["auto", "float32", "bfloat16", "float16"],
                         default="auto",
-                        help="HBM device-cache precision. auto (default): float32 when it fits the budget, else a bfloat16 cache (half the bytes, float32 restored inside the jitted gather; input quantization ~1e-3 of the 0..1 range). float16: same bytes as bfloat16, 8x finer mantissa for the [0,1]-scaled volumes.")
+                        help="HBM device-cache precision. auto (default): float32 when it fits the budget, else a float16 cache (half the bytes, float32 restored inside the jitted gather; f16 over bf16 because the [0,1]-scaled volumes never stress its range and its mantissa quantizes 8x finer at the same byte cost).")
     parser.add_argument("--stream_dtype",
                         choices=["float32", "bfloat16", "float16"],
                         default="float32",

@@ -256,17 +256,20 @@ def setup_device_loaders(batch_size=32, train_csv="", test_csv="", seed=0,
     """Device-resident analogue of setup_data_loaders (same keys).
 
     cache_dtype="auto" caches float32 when the dataset fits the HBM budget
-    and falls back to a bfloat16 cache (half the bytes, float32 restored
-    inside the jitted gather) when only that fits; "float32"/"bfloat16"
-    force a precision.  Raises ValueError when nothing fits (callers fall
-    back to the streaming prefetch pipeline).
+    and falls back to a float16 cache (half the bytes, float32 restored
+    inside the jitted gather; f16 over bf16 because the [0,1]-scaled
+    volumes never stress f16's range and its mantissa quantizes 8x finer
+    at the same byte cost — gather speed measured identical on-chip) when
+    only that fits; "float32"/"bfloat16"/"float16" force a precision.
+    Raises ValueError when nothing fits (callers fall back to the
+    streaming prefetch pipeline).
     """
     train_dataset = FMRIDataset(train_csv)
     test_dataset = FMRIDataset(test_csv)
 
     dtypes = [cache_dtype]
     if cache_dtype == "auto":
-        dtypes = ["float32", "bfloat16"]
+        dtypes = ["float32", "float16"]
 
     def _fits(ds, dt):
         # the loader's own budget check, evaluated BEFORE any decode/upload:
@@ -305,10 +308,10 @@ def setup_device_loaders(batch_size=32, train_csv="", test_csv="", seed=0,
                     cache_dtype=dt, max_bytes=max_bytes,
                 ),
             }
-            if dt == "bfloat16" and cache_dtype == "auto":
-                print("[device cache] dataset exceeds the float32 HBM "
-                      "budget — caching bfloat16 (float32 restored in the "
-                      "jitted gather)")
+            if dt != "float32" and cache_dtype == "auto":
+                print(f"[device cache] dataset exceeds the float32 HBM "
+                      f"budget — caching {dt} (float32 restored in the "
+                      f"jitted gather)")
             return loaders
         except ValueError as e:
             last_err = e
