@@ -65,6 +65,9 @@ def main(argv=None):
     p.add_argument("--recon_wire_dtype", choices=["float32", "float16"],
                    default="float32",
                    help="device->host map wire precision (see cli/train)")
+    p.add_argument("--img_shape", type=int, nargs=3,
+                   default=[41, 49, 35], metavar=("D", "H", "W"),
+                   help="volume grid (e.g. 91 109 91 for MNI scale)")
     args = p.parse_args(argv)
 
     import jax
@@ -80,12 +83,14 @@ def main(argv=None):
     from ..outputs.recons import mk_single_volumes
     from ..train import Trainer
 
+    img_shape = tuple(args.img_shape)
     root = tempfile.mkdtemp(prefix="bench_recon_")
-    csv = build_dataset(root, args.n_subjs, args.n_vols)
+    csv = build_dataset(root, args.n_subjs, args.n_vols, img=img_shape)
     ds = FMRIDataset(csv)
     n = len(ds)
 
-    config = VAEGAMConfig(nf=args.nf, num_latents=args.num_latents)
+    config = VAEGAMConfig(nf=args.nf, num_latents=args.num_latents,
+                          img_shape=img_shape)
     img_dim = config.img_dim
     trainer = Trainer(config, [[-2.0, 2.0]] * 6, glm_maps=None,
                       seed=1, enable_tb=False,
