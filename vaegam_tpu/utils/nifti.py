@@ -217,6 +217,11 @@ class Nifti1Image:
 
 def _open_maybe_gz(path: str, mode: str):
     if str(path).endswith(".gz"):
+        if "w" in mode:
+            # compresslevel 1 matches nibabel's writer default (its Opener
+            # gz_def_mb level); Python's gzip default of 9 is ~5-10x slower
+            # on multi-GB 4D volumes for a few % size difference
+            return gzip.open(path, mode, compresslevel=1)
         return gzip.open(path, mode)
     return open(path, mode)
 
