@@ -48,20 +48,33 @@ _GLOO_FLAKE = "Gloo context initialization failed"
 
 def _run_worker_pair(spawn, timeout=2000):
     """spawn(port) -> [Popen, Popen]; returns both outputs, retrying once
-    on the known Gloo rendezvous flake."""
+    on the known Gloo rendezvous flake (whether it surfaces as a
+    DEADLINE_EXCEEDED message or as a silent rendezvous hang)."""
     for attempt in (0, 1):
         procs = spawn(_free_port())
         outs = []
+        hung = False
         for p in procs:
-            out, _ = p.communicate(timeout=timeout)
+            try:
+                out, _ = p.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                # a hung worker would otherwise leak BOTH subprocesses
+                # (communicate raises before the sibling is reaped) — kill
+                # the whole pair and treat it as the rendezvous flake
+                hung = True
+                for q in procs:
+                    if q.poll() is None:
+                        q.kill()
+                out, _ = p.communicate()
             outs.append(out)
         codes = [p.returncode for p in procs]
-        if all(c == 0 for c in codes):
+        if not hung and all(c == 0 for c in codes):
             return outs
-        if attempt == 0 and any(_GLOO_FLAKE in o for o in outs):
+        if attempt == 0 and (hung or any(_GLOO_FLAKE in o for o in outs)):
             continue
         raise AssertionError(
-            f"worker failed (codes {codes}):\n" + "\n====\n".join(outs))
+            f"worker failed (codes {codes}, hung={hung}):\n"
+            + "\n====\n".join(outs))
     raise AssertionError("unreachable")
 
 

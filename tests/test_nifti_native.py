@@ -178,3 +178,20 @@ def test_native_batch_writer_fallback(tmp_path, monkeypatch):
         expected = f.read()
     with open(paths[1], "rb") as f:
         assert f.read() == expected
+
+
+def test_batch_writer_rejects_row_mismatch(tmp_path):
+    """Fewer data rows than paths must raise on the host (the native side
+    would otherwise read past the buffer); wrong voxel count likewise."""
+    shape = (5, 4, 3)
+    data = np.zeros((2, 60), np.float32)
+    header = nifti.encode_header(None, shape, np.float32, np.eye(4))
+    with pytest.raises(ValueError):
+        nifti_native.write_batch_f32(
+            header, data, shape, [str(tmp_path / f"{i}.nii") for i in range(3)]
+        )
+    with pytest.raises(ValueError):
+        nifti_native.write_batch_f32(
+            header, np.zeros((2, 59), np.float32), shape,
+            [str(tmp_path / f"{i}.nii") for i in range(2)]
+        )

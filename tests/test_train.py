@@ -266,9 +266,15 @@ def test_recon_wire_dtype_float16(setup, tmp_path):
 
     batch = next(iter(loaders["UnShuffled_train"]))
     covs, x = t32._put_batch(batch)
-    _, aux32 = t32._maps_step(t32.params, t32._next_key(), covs, x)
-    _, aux16 = t16._maps_step(t16.params, t16._next_key(), covs, x)
+    _, aux32 = t32._recon_maps_step()(t32.params, t32._next_key(), covs, x)
+    _, aux16 = t16._recon_maps_step()(t16.params, t16._next_key(), covs, x)
     assert aux16["maps"]["task"].dtype == jnp.float16
+    # the wire is scoped to the RECON stage: the training-time figure path
+    # (_maps_step, used by _log_batch_figures) stays full precision
+    _, aux_figs = t16._maps_step(t16.params, t16._next_key(), covs, x)
+    assert aux_figs["maps"]["task"].dtype == jnp.float32
+    t32._next_key()  # keep the two trainers' PRNG streams aligned for the
+    # mk_single_volumes file comparison below (maps depend on sampled z)
     for key in aux32["maps"]:
         np.testing.assert_allclose(
             np.asarray(aux32["maps"][key], np.float32),

@@ -71,6 +71,7 @@ class FMRIDataset:
         self.df = pd.read_csv(csv_file)
         self.scale = np.float32(scale)
         self._cache = _VolumeCache(cache_items)
+        self._default_cache_items = cache_items
         # subject index by order of first appearance (DataClass_GP.py:31-33)
         self._unique_subjs = self.df.subjid.unique().tolist()
         self._subj_idx = np.array(
@@ -110,7 +111,11 @@ class FMRIDataset:
         overlaps the zlib-inflate + dtype-convert work across cores.  Grows
         the LRU to hold every prewarmed file — callers are about to
         materialize the whole selection anyway, so host RAM is already
-        bounded by the dataset size.
+        bounded by the dataset size.  Callers that are DONE with the host
+        copies afterwards (e.g. a device-cache build, where batches are
+        served from HBM) should call :meth:`trim_cache` to release them —
+        otherwise the grown LRU pins the raw dataset in host RAM for the
+        loader's lifetime.
         """
         paths = self._nii_paths if rows is None else self._nii_paths[rows]
         todo = [p for p in dict.fromkeys(paths) if p not in self._cache]
@@ -123,6 +128,12 @@ class FMRIDataset:
 
         for p, arr in zip(todo, nifti_native.decode_many_f32(todo, n_threads)):
             self._cache.put(p, arr)
+
+    def trim_cache(self) -> None:
+        """Restore the LRU budget a :meth:`prewarm` grew (evicting oldest)."""
+        self._cache.max_items = self._default_cache_items
+        while len(self._cache._cache) > self._cache.max_items:
+            self._cache._cache.popitem(last=False)
 
     def gather(self, idxs: np.ndarray) -> Dict[str, np.ndarray]:
         """Materialize one batch as stacked arrays (one device_put later)."""

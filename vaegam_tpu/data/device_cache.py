@@ -110,6 +110,10 @@ class DeviceResidentLoader:
             # thread pool) before the single big gather
             dataset.prewarm(self._rows)
             host = dataset.gather(self._rows)
+            # batches are served from HBM from here on — release the host
+            # copies prewarm pinned (otherwise raw-dataset RSS persists for
+            # the loader's lifetime)
+            dataset.trim_cache()
 
         self.mesh = mesh
         self.batch_sharding = (

@@ -132,9 +132,10 @@ def reconstruct(trainer, loader, ref_niis: List[str], save_dirs: List[str]):
                 lo = hi
 
         prev = None
+        maps_step = trainer._recon_maps_step()  # applies recon_wire_dtype
         for sample in loader:
             covs, x = trainer._put_batch(sample)
-            _, aux = trainer._maps_step(
+            _, aux = maps_step(
                 trainer.params, trainer._next_key(), covs, x
             )
             if not write_files:

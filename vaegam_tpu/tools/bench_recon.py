@@ -102,14 +102,15 @@ def main(argv=None):
         loader = wide_eval_view(base, img_dim, width=width)
         eff = loader.batch_size
         # (a) maps forward only — the reconstruct() device loop minus writes
+        maps_step = trainer._recon_maps_step()  # applies recon_wire_dtype
         for sample in loader:  # warmup epoch (compile)
             covs, x = trainer._put_batch(sample)
-            trainer._maps_step(trainer.params, trainer._next_key(), covs, x)
+            maps_step(trainer.params, trainer._next_key(), covs, x)
         t0 = time.time()
         last = None
         for sample in loader:
             covs, x = trainer._put_batch(sample)
-            _, last = trainer._maps_step(
+            _, last = maps_step(
                 trainer.params, trainer._next_key(), covs, x
             )
         jax.block_until_ready(last)

@@ -274,8 +274,12 @@ def main(argv=None):
         args.sex_effect = 200.0 if args.n_subjs >= 10 else 0.0
     if args.anatomy_var is None:
         args.anatomy_var = 0.3 if args.n_subjs >= 10 else 1.0
-    existing_csv = sorted(glob.glob(
-        os.path.join(args.work_dir, "preproc_dset_zscored_*.csv")))
+    # newest by mtime: the %m_%d_%Y date embedded in the filename does NOT
+    # sort chronologically as a string (12_31_2025 > 01_15_2026)
+    existing_csv = sorted(
+        glob.glob(os.path.join(args.work_dir, "preproc_dset_zscored_*.csv")),
+        key=os.path.getmtime,
+    )
     if args.reuse_data and existing_csv:
         t0 = time.time()
         csv = existing_csv[-1]

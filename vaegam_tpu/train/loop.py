@@ -131,6 +131,7 @@ class Trainer:
         self._gather_train_step = self._build_gather_train_step()
         self._eval_step = self._build_eval_step(return_maps=False)
         self._maps_step = self._build_eval_step(return_maps=True)
+        self._maps_step_wire = None  # lazy; see _recon_maps_step
 
     def _build_tx(self):
         tx = optax.adam(self.lr)
@@ -188,11 +189,9 @@ class Trainer:
 
         return jax.jit(step, donate_argnums=(0, 1, 2))
 
-    def _build_eval_step(self, return_maps: bool):
+    def _build_eval_step(self, return_maps: bool, maps_wire=None):
         config, consts = self.config, self.consts
         replicated = self._replicated
-
-        maps_wire = self._maps_wire
 
         def step(params, key, covariates, x):
             out = forward(
@@ -214,6 +213,21 @@ class Trainer:
 
         return jax.jit(step)
 
+    def _recon_maps_step(self):
+        """Maps step for the recon OUTPUT stage: applies the opt-in
+        half-precision device->host wire (recon_wire_dtype).  Kept separate
+        from self._maps_step so training-time TensorBoard figures
+        (_log_batch_figures) always render from full-precision maps — the
+        flag's documented scope is the recon output stage only.  Built
+        lazily: no extra compile unless both paths are used."""
+        if self._maps_wire is None:
+            return self._maps_step
+        if getattr(self, "_maps_step_wire", None) is None:
+            self._maps_step_wire = self._build_eval_step(
+                return_maps=True, maps_wire=self._maps_wire
+            )
+        return self._maps_step_wire
+
     def set_conv_dtype(self, conv_dtype) -> None:
         """Switch conv activation/compute precision mid-training.
 
@@ -230,6 +244,7 @@ class Trainer:
         self._gather_train_step = self._build_gather_train_step()
         self._eval_step = self._build_eval_step(return_maps=False)
         self._maps_step = self._build_eval_step(return_maps=True)
+        self._maps_step_wire = None  # lazy; see _recon_maps_step
 
     # ------------------------------------------------------------- plumbing
     def _replicate_small(self, arr):
@@ -546,3 +561,4 @@ class Trainer:
         self._gather_train_step = self._build_gather_train_step()
         self._eval_step = self._build_eval_step(return_maps=False)
         self._maps_step = self._build_eval_step(return_maps=True)
+        self._maps_step_wire = None  # lazy; see _recon_maps_step

@@ -127,6 +127,15 @@ def write_batch_f32(header: bytes, data: np.ndarray, shape, paths: List[str],
     """
     d0, d1, d2 = (int(s) for s in shape)
     data = np.ascontiguousarray(data, dtype=np.float32)
+    data = data.reshape(data.shape[0], -1) if data.ndim > 1 else data
+    # the native side reads row i for every path i — validate on the host
+    # so a caller mismatch raises instead of reading out of bounds in C++
+    if data.ndim != 2 or data.shape[0] < len(paths) \
+            or data.shape[1] != d0 * d1 * d2:
+        raise ValueError(
+            f"data {data.shape} cannot serve {len(paths)} volumes of "
+            f"shape {(d0, d1, d2)}"
+        )
     if not writer_available():
         for row, path in zip(data, paths):
             raw = header + row.astype("<f4").reshape(
