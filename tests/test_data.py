@@ -44,6 +44,34 @@ def test_gather_matches_items(csvs):
         assert batch["subjid"][k] == item["subjid"]
 
 
+def test_volume_cache_thread_safety(csvs):
+    """Concurrent gathers under a tiny LRU budget (PrefetchLoader with
+    workers>1 hits the shared cache from several pool threads; unlocked,
+    an eviction between get() and move_to_end() raises KeyError)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    _, train = csvs
+    ds = FMRIDataset(train, cache_items=1)  # force constant eviction
+    idxs = [np.array([i % 12, (i + 7) % 12]) for i in range(64)]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(pool.map(ds.gather, idxs))
+    for sel, batch in zip(idxs, results):
+        for k, i in enumerate(sel):
+            np.testing.assert_allclose(
+                batch["volume"][k], ds[i]["volume"], rtol=1e-6
+            )
+    assert len(ds._cache) <= 1
+
+
+def test_prewarm_trim_cache_releases_budget(csvs):
+    _, train = csvs
+    ds = FMRIDataset(train, cache_items=1)
+    ds.prewarm()  # grows the LRU to hold both subject files
+    assert len(ds._cache) == 2
+    ds.trim_cache()
+    assert len(ds._cache) == 1 and ds._cache.max_items == 1
+
+
 def test_loader_shuffle_and_coverage(csvs):
     _, train = csvs
     ds = FMRIDataset(train)

@@ -36,28 +36,50 @@ _COVARIATE_COLS = 4 + np.arange(8)  # task,x,y,z,rot_x,rot_y,rot_z,sex (iloc)
 
 
 class _VolumeCache:
-    """Bounded LRU cache of decoded 4D NIfTI arrays, keyed by path."""
+    """Bounded LRU cache of decoded 4D NIfTI arrays, keyed by path.
+
+    Thread-safe: PrefetchLoader(workers>1) calls FMRIDataset.gather from
+    several pool threads at once — an unlocked OrderedDict would let one
+    thread evict an entry between another's get() and move_to_end()
+    (KeyError) or over-evict during concurrent put()s.  The lock is not
+    held across decode_f32 (the expensive part); a duplicate concurrent
+    decode of the same path is benign (last put wins).
+    """
 
     def __init__(self, max_items: int = 32):
+        import threading
+
         self.max_items = max_items
         self._cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._lock = threading.Lock()
 
     def get(self, path: str) -> np.ndarray:
-        arr = self._cache.get(path)
-        if arr is None:
-            from ..utils import nifti_native
+        with self._lock:
+            arr = self._cache.get(path)
+            if arr is not None:
+                self._cache.move_to_end(path)
+                return arr
+        from ..utils import nifti_native
 
-            arr = nifti_native.decode_f32(path)  # native C++ path w/ fallback
-            self.put(path, arr)
-        else:
-            self._cache.move_to_end(path)
+        arr = nifti_native.decode_f32(path)  # native C++ path w/ fallback
+        self.put(path, arr)
         return arr
 
     def put(self, path: str, arr: np.ndarray) -> None:
-        self._cache[path] = arr
-        self._cache.move_to_end(path)
-        while len(self._cache) > self.max_items:
-            self._cache.popitem(last=False)
+        with self._lock:
+            self._cache[path] = arr
+            self._cache.move_to_end(path)
+            while len(self._cache) > self.max_items:
+                self._cache.popitem(last=False)
+
+    def trim(self, max_items: int) -> None:
+        with self._lock:
+            self.max_items = max_items
+            while len(self._cache) > max_items:
+                self._cache.popitem(last=False)
+
+    def __len__(self) -> int:
+        return len(self._cache)
 
     def __contains__(self, path: str) -> bool:
         return path in self._cache
@@ -122,7 +144,7 @@ class FMRIDataset:
         if not todo:
             return
         self._cache.max_items = max(
-            self._cache.max_items, len(self._cache._cache) + len(todo)
+            self._cache.max_items, len(self._cache) + len(todo)
         )
         from ..utils import nifti_native
 
@@ -131,9 +153,7 @@ class FMRIDataset:
 
     def trim_cache(self) -> None:
         """Restore the LRU budget a :meth:`prewarm` grew (evicting oldest)."""
-        self._cache.max_items = self._default_cache_items
-        while len(self._cache._cache) > self._cache.max_items:
-            self._cache._cache.popitem(last=False)
+        self._cache.trim(self._default_cache_items)
 
     def gather(self, idxs: np.ndarray) -> Dict[str, np.ndarray]:
         """Materialize one batch as stacked arrays (one device_put later)."""
