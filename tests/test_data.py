@@ -44,6 +44,20 @@ def test_gather_matches_items(csvs):
         assert batch["subjid"][k] == item["subjid"]
 
 
+def test_gather_chunked_matches_unchunked(csvs):
+    """chunk_files bounds device-cache-build RAM: same bytes, and cold
+    files decoded by the chunked path are consumed without growing the
+    LRU past its budget."""
+    _, train = csvs
+    ds = FMRIDataset(train, cache_items=1)
+    idxs = np.arange(len(ds))
+    chunked = ds.gather(idxs, chunk_files=1)
+    assert len(ds._cache) <= 1  # one-shot decodes were not inserted
+    plain = FMRIDataset(train).gather(idxs)
+    for key in ("volume", "covariates", "subjid", "vol_num"):
+        np.testing.assert_array_equal(chunked[key], plain[key])
+
+
 def test_volume_cache_thread_safety(csvs):
     """Concurrent gathers under a tiny LRU budget (PrefetchLoader with
     workers>1 hits the shared cache from several pool threads; unlocked,
@@ -228,9 +242,9 @@ def test_auto_precheck_avoids_wasted_upload(csvs, monkeypatch):
     calls = []
     orig = FMRIDataset.gather
 
-    def spy(self, rows):
+    def spy(self, rows, **kw):
         calls.append(len(rows))
-        return orig(self, rows)
+        return orig(self, rows, **kw)
 
     monkeypatch.setattr(FMRIDataset, "gather", spy)
     vols_bytes = 12 * 41 * 49 * 35 * 4  # 12 samples fp32
@@ -284,10 +298,19 @@ def test_wide_eval_view(csvs):
         if isinstance(loader, DeviceResidentLoader):
             assert wide._vols is loader._vols  # shared HBM cache
 
-    # cap: a tiny maps budget forces the width back down to batch_size
+    # cap: a tiny maps budget forces the width back down; the budget covers
+    # TWO 10 x B x img_dim fp32 blocks (the depth-2 recon pipeline's peak)
     capped = wide_eval_view(DataLoader(ds, batch_size=4), img_dim,
-                            width=128, max_map_bytes=10 * img_dim * 4 * 5)
+                            width=128,
+                            max_map_bytes=2 * 10 * img_dim * 4 * 5)
     assert capped.batch_size == 5
+
+    # the view preserves the loader's exact wire dtype (float16 != bfloat16)
+    for wire in ("float16", "bfloat16"):
+        pf = PrefetchLoader(ds, batch_size=4, shuffle=False,
+                            transfer_dtype=wire)
+        wide = wide_eval_view(pf, img_dim, width=8)
+        assert np.dtype(wide.transfer_dtype).name == wire
 
 
 def test_half_precision_float16_wire_and_cache(csvs):

@@ -131,13 +131,11 @@ class FMRIDataset:
         new study) otherwise decodes subjects one at a time; the native
         thread pool (utils/nifti_native.decode_many_f32, GIL-free C++)
         overlaps the zlib-inflate + dtype-convert work across cores.  Grows
-        the LRU to hold every prewarmed file — callers are about to
-        materialize the whole selection anyway, so host RAM is already
-        bounded by the dataset size.  Callers that are DONE with the host
-        copies afterwards (e.g. a device-cache build, where batches are
-        served from HBM) should call :meth:`trim_cache` to release them —
-        otherwise the grown LRU pins the raw dataset in host RAM for the
-        loader's lifetime.
+        the LRU to hold every prewarmed file, pinning the decoded selection
+        in host RAM until :meth:`trim_cache` — callers that also stack a
+        full fp32 copy of the rows should use ``gather(chunk_files=...)``
+        instead, which bounds the peak to one chunk (device-cache builds
+        do; see data/device_cache.py).
         """
         paths = self._nii_paths if rows is None else self._nii_paths[rows]
         todo = [p for p in dict.fromkeys(paths) if p not in self._cache]
@@ -155,12 +153,42 @@ class FMRIDataset:
         """Restore the LRU budget a :meth:`prewarm` grew (evicting oldest)."""
         self._cache.trim(self._default_cache_items)
 
-    def gather(self, idxs: np.ndarray) -> Dict[str, np.ndarray]:
-        """Materialize one batch as stacked arrays (one device_put later)."""
+    def gather(self, idxs: np.ndarray,
+               chunk_files: int = 0) -> Dict[str, np.ndarray]:
+        """Materialize one batch as stacked arrays (one device_put later).
+
+        ``chunk_files > 0`` bounds host RAM for whole-dataset gathers
+        (device-cache builds): subject files are decoded in parallel chunks
+        of that many files (native pool) and released as soon as their rows
+        are copied into the stacked output, so the peak is the stacked copy
+        plus one chunk of decoded 4D files — not the stacked copy plus the
+        ENTIRE decoded dataset that a prewarm-then-gather sequence pins.
+        Files already in the LRU are reused; cold files decoded this way are
+        NOT inserted into it (the caller is consuming them once).
+        """
         vols = np.empty((len(idxs),) + self[0]["volume"].shape, np.float32)
-        for k, i in enumerate(idxs):
-            fmri = self._cache.get(self._nii_paths[i])
-            vols[k] = fmri[:, :, :, self._vol_nums[i]]
+        if chunk_files > 0:
+            from ..utils import nifti_native
+
+            by_file: Dict[str, list] = {}
+            for k, i in enumerate(idxs):
+                by_file.setdefault(self._nii_paths[i], []).append(k)
+            files = list(by_file)
+            for lo in range(0, len(files), chunk_files):
+                chunk = files[lo:lo + chunk_files]
+                todo = [p for p in chunk if p not in self._cache]
+                decoded = dict(zip(todo, nifti_native.decode_many_f32(todo))) \
+                    if todo else {}
+                for p in chunk:
+                    fmri = decoded.get(p)
+                    if fmri is None:
+                        fmri = self._cache.get(p)
+                    for k in by_file[p]:
+                        vols[k] = fmri[:, :, :, self._vol_nums[idxs[k]]]
+        else:
+            for k, i in enumerate(idxs):
+                fmri = self._cache.get(self._nii_paths[i])
+                vols[k] = fmri[:, :, :, self._vol_nums[i]]
         vols /= self.scale
         return {
             "covariates": self._covariates[idxs],

@@ -106,14 +106,12 @@ class DeviceResidentLoader:
                     f"{max_bytes >> 20} MiB cache limit — use the streaming "
                     "DataLoader instead"
                 )
-            # parallel cold-start decode of every subject file (native
-            # thread pool) before the single big gather
-            dataset.prewarm(self._rows)
-            host = dataset.gather(self._rows)
-            # batches are served from HBM from here on — release the host
-            # copies prewarm pinned (otherwise raw-dataset RSS persists for
-            # the loader's lifetime)
-            dataset.trim_cache()
+            # chunked parallel cold-start decode (native thread pool):
+            # 16 subject files decoded at a time and released once their
+            # rows land in the stacked array, so peak host RSS is the
+            # stacked fp32 copy + one chunk — not 2x the dataset (which a
+            # prewarm-everything-then-gather sequence would transiently pin)
+            host = dataset.gather(self._rows, chunk_files=16)
 
         self.mesh = mesh
         self.batch_sharding = (

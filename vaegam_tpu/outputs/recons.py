@@ -37,7 +37,7 @@ from ..parallel import is_main_process
 # fallback (library not built) is a Python writer pool.  Either way this
 # replaces the reference's synchronous one-file-at-a-time loop
 # (vae_reg_GP.py:605-620 — flagged as a host-I/O hot spot in SURVEY.md §7).
-_WRITER_THREADS = min(8, (os.cpu_count() or 1) * 2)
+_WRITER_THREADS = nifti_native.DEFAULT_WRITER_THREADS
 
 
 def _flush_native(header: bytes, maps, lo: int, hi: int, img_shape, paths):
@@ -59,10 +59,10 @@ def reconstruct(trainer, loader, ref_niis: List[str], save_dirs: List[str]):
     TPU-first pipeline (depth 2): batch k+1's forward is dispatched and
     batch k's device->host map copies started (copy_to_host_async) before
     batch k-1's files are encoded/written — device compute, the host
-    transfer and the native writer pool all overlap.
+    transfer and the native writer pool all overlap.  HBM note: the
+    pipeline keeps TWO map blocks live at once (batch k's, for host copies,
+    while batch k+1's forward runs) — data.wide_eval_view budgets for both.
     """
-    import jax
-
     img_shape = tuple(trainer.config.img_shape)
     ref_imgs = {}
     headers = {}  # subj_idx -> encoded 352-byte header template
@@ -153,8 +153,6 @@ def reconstruct(trainer, loader, ref_niis: List[str], save_dirs: List[str]):
 
 def mk_single_volumes(loader, trainer, csv_file: str, save_dir: str):
     """Create per-subject dirs and reconstruct every volume."""
-    import jax
-
     dset = pd.read_csv(csv_file)
     subjs = dset.subjid.unique().tolist()
     ref_niis = dset.nii_path.unique().tolist()
@@ -178,8 +176,6 @@ def mk_avg_maps(csv_file: str, trainer, save_dir: str,
     (build_model_recons.py:86-92) so the output is a pure function of what
     is on disk.
     """
-    import jax
-
     if not is_main_process():
         return  # pure host re-read/average of written files; main-only
     img_shape = tuple(trainer.config.img_shape)
@@ -212,10 +208,13 @@ def mk_avg_maps(csv_file: str, trainer, save_dir: str,
                      for vd in vol_dirs]
             # native pooled decode of the written per-volume files (same
             # read-back-from-disk semantics as build_model_recons.py:86-92,
-            # C++ decoder instead of one Python parse per file)
+            # C++ decoder instead of one Python parse per file), chunked so
+            # host RAM stays bounded (~64 volumes decoded at a time, not the
+            # subject's whole series per map key)
             subj_map = np.zeros(img_shape, np.float64)
-            for vol in nifti_native.decode_many_f32(paths):
-                subj_map += vol
+            for lo in range(0, len(paths), 64):
+                for vol in nifti_native.decode_many_f32(paths[lo:lo + 64]):
+                    subj_map += vol
             subj_map /= len(vol_dirs)
             _save_map(subj_map, ref_niis[s], subj_avg_dir, key, ref_cache)
             gd_avg += subj_map

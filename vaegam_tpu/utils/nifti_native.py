@@ -15,6 +15,10 @@ from typing import List, Optional
 
 import numpy as np
 
+# default thread-pool width for batch writes/decodes — the single tuning
+# knob shared by every caller (outputs/recons.py flushes use it too)
+DEFAULT_WRITER_THREADS = min(8, (os.cpu_count() or 1) * 2)
+
 _LIB_PATHS = [
     os.path.join(os.path.dirname(__file__), "..", "..", "native",
                  "libvaegam_io.so"),
@@ -146,7 +150,7 @@ def write_batch_f32(header: bytes, data: np.ndarray, shape, paths: List[str],
     lib = _load_lib()
     n = len(paths)
     if n_threads <= 0:
-        n_threads = min(8, (os.cpu_count() or 1) * 2)
+        n_threads = DEFAULT_WRITER_THREADS
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     c_status = (ctypes.c_int * n)()
     lib.vaegam_nifti_write_batch_f32(
