@@ -95,3 +95,112 @@ def test_fused_polyphase_gradient_matches():
         np.asarray(jax.grad(loss_new)(w)), np.asarray(jax.grad(loss_ref)(w)),
         rtol=1e-4, atol=1e-5,
     )
+
+
+# ---------------------------------------------------------------------------
+# lane-packed stride-1 conv (ops/packed_conv.py)
+# ---------------------------------------------------------------------------
+
+PACKED_CASES = [
+    # (dims, ic, oc, ksize, pad, pack)
+    ((8, 10, 7), 6, 5, (3, 3, 3), ((2, 2), (2, 2), (2, 2)), (4, 4)),
+    ((9, 11, 13), 4, 5, (3, 3, 3), ((0, 0), (0, 0), (0, 0)), (2, 3)),
+    ((7, 9, 8), 3, 2, (5, 3, 3), ((1, 0), (0, 1), (2, 2)), (3, 5)),
+    ((5, 6, 7), 2, 3, (1, 1, 1), ((0, 0), (0, 0), (0, 0)), (4, 2)),
+    ((6, 12, 12), 2, 1, (3, 3, 3), ((2, 2), (2, 2), (2, 2)), (4, 8)),
+]
+
+
+@pytest.mark.parametrize("dims,ic,oc,ksize,pad,pack", PACKED_CASES)
+def test_packed_conv_matches_lax(dims, ic, oc, ksize, pad, pack):
+    from vaegam_tpu.ops.packed_conv import packed_conv3d
+
+    rng = np.random.default_rng(hash((dims, ksize, pack)) % 2**31)
+    x = jnp.asarray(rng.normal(size=(2, *dims, ic)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(*ksize, ic, oc)), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), pad, dimension_numbers=("NDHWC", "DHWIO", "NDHWC")
+    )
+    got = packed_conv3d(x, w, pad, pack)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_packed_conv_gradient_matches():
+    from vaegam_tpu.ops.packed_conv import packed_conv3d
+
+    rng = np.random.default_rng(3)
+    dims, ksize, pad, pack = (7, 9, 8), (3, 3, 3), ((2, 2), (2, 2), (2, 2)), (3, 4)
+    x = jnp.asarray(rng.normal(size=(2, *dims, 3)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(*ksize, 3, 4)), jnp.float32)
+    dn = ("NDHWC", "DHWIO", "NDHWC")
+
+    def loss_ref(x, w):
+        y = jax.lax.conv_general_dilated(x, w, (1, 1, 1), pad,
+                                         dimension_numbers=dn)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_new(x, w):
+        return jnp.sum(jnp.sin(packed_conv3d(x, w, pad, pack)))
+
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    gx_n, gw_n = jax.grad(loss_new, argnums=(0, 1))(x, w)
+    # tolerances allow matmul-reassociation noise (different contraction
+    # grouping than lax.conv's lowering)
+    np.testing.assert_allclose(np.asarray(gx_n), np.asarray(gx_r),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_n), np.asarray(gw_r),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_model_stacks_invariant_under_conv_pack():
+    """encode()/decode() (the deterministic conv stacks) produce the same
+    outputs and grads with conv_pack on vs off — the pack is a pure
+    re-embedding of the stride-1 convs.  The full forward() loss also
+    matches; its GRADS are not compared element-wise because the stochastic
+    path (escalating-jitter Cholesky, global d-floor branch) chaotically
+    amplifies fp-reassociation-level deltas on a few elements."""
+    from jax.flatten_util import ravel_pytree
+
+    from vaegam_tpu.models import VAEGAMConfig, forward, init_model
+    from vaegam_tpu.models.networks import decode, encode
+
+    rng = np.random.default_rng(0)
+    shape = (21, 25, 21)
+    glm = rng.normal(size=(int(np.prod(shape)), 9)).astype(np.float32)
+    covs = jnp.asarray(rng.normal(size=(4, 8)), jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 1, size=(4,) + shape), jnp.float32)
+    cfg0 = VAEGAMConfig(img_shape=shape)
+    params, consts = init_model(
+        jax.random.PRNGKey(0), cfg0, [[-2.0, 2.0]] * 6, glm
+    )
+    z = jnp.asarray(rng.normal(size=(9 * 4, cfg0.z_dim)), jnp.float32)
+
+    def dec_loss(p, pack):
+        out = decode(p, z, cfg0.nf, img_shape=shape, stat_groups=9,
+                     conv_pack=pack)
+        return jnp.sum(jnp.sin(out * 3.0)), out
+
+    def enc_loss(p, pack):
+        mu, u, d = encode(p, x, cfg0.nf, conv_pack=pack)
+        return jnp.sum(jnp.sin(mu) + jnp.cos(u) + d), mu
+
+    for fn, prm in ((dec_loss, params["dec"]), (enc_loss, params["enc"])):
+        (l0, o0), g0 = jax.value_and_grad(fn, has_aux=True)(prm, None)
+        (l1, o1), g1 = jax.value_and_grad(fn, has_aux=True)(prm, (2, 2))
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(ravel_pytree(g1)[0]), np.asarray(ravel_pytree(g0)[0]),
+            rtol=1e-3, atol=2e-3,
+        )
+
+    losses = {}
+    for pack in (None, (2, 2)):
+        cfg = VAEGAMConfig(conv_pack=pack, img_shape=shape)
+        loss, _ = forward(params, consts, jax.random.PRNGKey(3), covs, x, cfg)
+        losses[pack] = float(loss)
+    assert abs(losses[(2, 2)] - losses[None]) < 1e-3 * max(
+        1.0, abs(losses[None])
+    )

@@ -31,6 +31,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from vaegam_tpu.ops.packed_conv import packed_conv3d
+
 _DN = ("NDHWC", "DHWIO", "NDHWC")
 _BN_EPS = 1e-5
 
@@ -110,25 +112,31 @@ def _bn_init(ch, dtype):
 # layer applies
 # ---------------------------------------------------------------------------
 
-def _conv(x, p, stride, conv_dtype=None):
+def _conv(x, p, stride, conv_dtype=None, pack=None):
     """conv_dtype=None: pure fp32 (parity path).  Otherwise x is ALREADY in
     conv_dtype (the callers cast once at stack entry so inter-layer
     activations stay low-precision — the conv stacks are memory-bound and
     fp32 round-trips between layers would forfeit half the bandwidth win);
     weights are cast per-call (the MXU accumulates in fp32 internally
     either way), the fp32 bias-add promotes, and the result returns to
-    conv_dtype."""
+    conv_dtype.
+
+    pack=(s_h, s_w): lane-pack stride-1 convs via ops/packed_conv (identical
+    math, H/W output positions folded into the matmul lane dimension)."""
     w = p["w"]
     if conv_dtype is not None:
         w = w.astype(conv_dtype)
-    y = jax.lax.conv_general_dilated(
-        x, w, window_strides=(stride,) * 3, padding="VALID",
-        dimension_numbers=_DN,
-    )
+    if pack is not None and stride == 1:
+        y = packed_conv3d(x, w, ((0, 0),) * 3, pack)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(stride,) * 3, padding="VALID",
+            dimension_numbers=_DN,
+        )
     return (y + p["b"]).astype(x.dtype)
 
 
-def _conv_t(x, p, stride, pad, outpad, ksize, conv_dtype=None):
+def _conv_t(x, p, stride, pad, outpad, ksize, conv_dtype=None, pack=None):
     """Transposed conv; output per dim (i-1)*s + k - 2p + op (torch-equal).
 
     stride 1 lowers to a plain VALID conv with full padding; stride 2 uses
@@ -148,10 +156,13 @@ def _conv_t(x, p, stride, pad, outpad, ksize, conv_dtype=None):
     w = p["w"]
     if conv_dtype is not None:
         w = w.astype(conv_dtype)
-    y = jax.lax.conv_general_dilated(
-        x, w, window_strides=(1, 1, 1), padding=padding,
-        lhs_dilation=(stride,) * 3, dimension_numbers=_DN,
-    )
+    if pack is not None and stride == 1:
+        y = packed_conv3d(x, w, padding, pack)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1, 1), padding=padding,
+            lhs_dilation=(stride,) * 3, dimension_numbers=_DN,
+        )
     return (y + p["b"]).astype(x.dtype)
 
 
@@ -215,22 +226,23 @@ def init_encoder(key, nf: int, num_latents: int, dtype=jnp.float32,
     }
 
 
-def encode(params, x, nf: int, conv_dtype=None):
+def encode(params, x, nf: int, conv_dtype=None, conv_pack=None):
     """x: (B, 41, 49, 35) -> (mu, u, d), each (B, num_latents).
 
     u is the rank-1 covariance factor, d the (positive) diagonal.
     conv_dtype (e.g. bfloat16) selects the conv compute precision; norms,
-    heads and accumulation stay float32.
+    heads and accumulation stay float32.  conv_pack=(s_h, s_w) lane-packs
+    the stride-1 convs (ops/packed_conv; identical math).
     """
-    cd = conv_dtype
+    cd, cp = conv_dtype, conv_pack
     h = x[..., None]  # NDHWC with C=1
     if cd is not None:
         h = h.astype(cd)  # one downcast; activations stay cd across the stack
-    h = _relu(_conv(_batch_stat_norm(h, params["bn1"]), params["conv1"], 1, cd))
+    h = _relu(_conv(_batch_stat_norm(h, params["bn1"]), params["conv1"], 1, cd, cp))
     h = _relu(_conv(h, params["conv2"], 2, cd))
-    h = _relu(_conv(_batch_stat_norm(h, params["bn3"]), params["conv3"], 1, cd))
+    h = _relu(_conv(_batch_stat_norm(h, params["bn3"]), params["conv3"], 1, cd, cp))
     h = _relu(_conv(h, params["conv4"], 2, cd))
-    h = _relu(_conv(_batch_stat_norm(h, params["bn5"]), params["conv5"], 1, cd))
+    h = _relu(_conv(_batch_stat_norm(h, params["bn5"]), params["conv5"], 1, cd, cp))
     h = h.reshape(h.shape[0], -1)  # (B, 2nf*6*8*4) channel-last flatten
     h = h.astype(x.dtype)  # FC stack + heads stay fp32
     h = _relu(_linear(h, params["fc1"]))
@@ -268,14 +280,16 @@ def init_decoder(key, nf: int, z_dim: int, dtype=jnp.float32,
 
 
 def decode(params, z, nf: int, conv_dtype=None,
-           img_shape=REFERENCE_IMG_SHAPE, stat_groups: int = 1):
+           img_shape=REFERENCE_IMG_SHAPE, stat_groups: int = 1,
+           conv_pack=None):
     """z: (B*, z_dim) -> sigmoid volume flattened to (B*, prod(img_shape)).
 
     stat_groups: number of contiguous batch groups for the batch-stat norms
     (the fused 9B decode passes num_covariates+1 to reproduce the
     reference's per-one-hot norm statistics — see _batch_stat_norm).
+    conv_pack=(s_h, s_w): lane-pack the stride-1 convs (ops/packed_conv).
     """
-    cd = conv_dtype
+    cd, cp = conv_dtype, conv_pack
     sg = stat_groups
     seed, crop = decoder_seed_shape(img_shape)
     h = _relu(_linear(z, params["fc5"]))
@@ -286,15 +300,15 @@ def decode(params, z, nf: int, conv_dtype=None,
     if cd is not None:
         h = h.astype(cd)  # one downcast; activations stay cd across the stack
     h = _relu(_conv_t(_batch_stat_norm(h, params["bnt1"], sg), params["convt1"],
-                      1, (0, 0, 0), (0, 0, 0), (3, 3, 3), cd))
+                      1, (0, 0, 0), (0, 0, 0), (3, 3, 3), cd, cp))
     h = _relu(_conv_t(h, params["convt2"], 2, (1, 0, 1), (1, 0, 1),
                       (3, 3, 3), cd))
     h = _relu(_conv_t(_batch_stat_norm(h, params["bnt3"], sg), params["convt3"],
-                      1, (0, 0, 0), (0, 0, 0), (3, 3, 3), cd))
+                      1, (0, 0, 0), (0, 0, 0), (3, 3, 3), cd, cp))
     h = _relu(_conv_t(h, params["convt4"], 2, (0, 0, 0), (0, 0, 0),
                       (5, 3, 3), cd))
     h = _conv_t(_batch_stat_norm(h, params["bnt5"], sg), params["convt5"],
-                1, (0, 0, 0), (0, 0, 0), (3, 3, 3), cd)
+                1, (0, 0, 0), (0, 0, 0), (3, 3, 3), cd, cp)
     if any(crop):
         h = h[:, : h.shape[1] - crop[0], : h.shape[2] - crop[1],
               : h.shape[3] - crop[2], :]

@@ -81,6 +81,11 @@ class VAEGAMConfig:
     # conv compute precision: None = float32 (parity path); jnp.bfloat16
     # trades ~1e-3-level output deltas for speed on the memory-bound convs
     conv_dtype: Any = None
+    # lane-pack factor (s_h, s_w) for the stride-1 convs (ops/packed_conv):
+    # folds H/W output positions into the matmul lane dimension to lift MXU
+    # utilization past the tiny-channel im2col bound.  None = XLA's native
+    # lowering.  Math is identical (element-exact up to fp reassociation).
+    conv_pack: Any = None
     # opt-in stabilization (SURVEY.md §7 hard-parts): parameterize the GP
     # posterior covariance as qu_S = L L^T (raw lower-triangular factor,
     # softplus-free exp diagonal) so Adam can never drive it non-PSD.  Off by
@@ -257,7 +262,8 @@ def forward(
     k_z, k_beta = jax.random.split(key)
 
     # --- encoder & latent sample ------------------------------------------
-    mu, u, d = encode(params["enc"], x, config.nf, config.conv_dtype)
+    mu, u, d = encode(params["enc"], x, config.nf, config.conv_dtype,
+                      config.conv_pack)
     # global d-floor: if ANY element is tiny, shift the WHOLE tensor
     # (vae_reg_GP.py:321-323 — intentional parity with the reference)
     d = jnp.where(jnp.any(d < 1e-6), d + 1e-6, d)
@@ -283,6 +289,7 @@ def forward(
     decoded = decode(
         params["dec"], zcat, config.nf, config.conv_dtype, config.img_shape,
         stat_groups=1 if config.fused_norm_stats else n_cov + 1,
+        conv_pack=config.conv_pack,
     ).reshape(n_cov + 1, b, config.img_dim)
     base, diffs = decoded[0], decoded[1:]                         # (B,D), (C,B,D)
 
