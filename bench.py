@@ -45,7 +45,8 @@ def measure(conv_dtype, fused_norm_stats):
         jax.random.PRNGKey(0), config, [[-2.0, 2.0]] * 6, glm_maps
     )
     tx = optax.adam(1e-3)
-    opt_state = tx.init(params)
+    # one dispatch, not ~130 eager zeros_like ops (tunnel-latency bound)
+    opt_state = jax.jit(tx.init)(params)
 
     def step(params, opt_state, key, covariates, x):
         (loss, _), grads = jax.value_and_grad(forward, has_aux=True)(

@@ -31,6 +31,7 @@ Parameter-bank contract (reference vae_reg_GP.py:52-177):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -160,7 +161,29 @@ def init_model(
                  CSV read with its index column (vae_reg_GP.py:58-59), where
                  columns 1..num_covariates are task..sex maps.  None disables
                  the GLM regularizer term.
+
+    The whole device-side construction runs as ONE jitted computation: the
+    ~80 eager random-init ops otherwise each pay a full dispatch round-trip,
+    which on a tunnel-attached TPU is ~40 s of pure latency per process
+    start (bench/CLI/tools alike).  Same keys, same ops — identical values.
     """
+    xu_t = tuple((float(lo), float(hi)) for lo, hi in xu_ranges)
+    params, xu = _init_device(key, config, xu_t)
+    consts = {
+        "xu": xu,
+        "hrf": hrf_kernel(config.dtype),
+        # device_put's DMA path — an eager jnp.asarray of host data routes
+        # through eager-op machinery (~60x slower over a tunnel link,
+        # docs/PERFORMANCE.md)
+        "glm_maps": None if glm_maps is None else jax.device_put(
+            np.asarray(glm_maps, np.dtype(config.dtype))
+        ),
+    }
+    return params, consts
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _init_device(key, config: VAEGAMConfig, xu_ranges):
     dt = config.dtype
     k_enc, k_dec, k_sa, k_ls, k_qm = jax.random.split(key, 5)
     n_cov, p = config.num_covariates, config.num_inducing_pts
@@ -196,12 +219,7 @@ def init_model(
     xu = jnp.stack(
         [jnp.linspace(lo, hi, p, dtype=dt) for lo, hi in xu_ranges]
     )  # (6, P)
-    consts = {
-        "xu": xu,
-        "hrf": hrf_kernel(dt),
-        "glm_maps": None if glm_maps is None else jnp.asarray(glm_maps, dt),
-    }
-    return params, consts
+    return params, xu
 
 
 def gp_transforms(gp_params, config: VAEGAMConfig):

@@ -98,7 +98,10 @@ class Trainer:
         self.skip_nonfinite_updates = skip_nonfinite_updates
         self.grad_clip = grad_clip
         self.tx = self._build_tx()
-        self.opt_state = self.tx.init(self.params)
+        # jitted: eager optimizer init is ~130 separate zeros_like dispatches
+        # (one per moment leaf), each paying a full round-trip on a
+        # tunnel-attached device
+        self.opt_state = jax.jit(self.tx.init)(self.params)
         self.epoch = 0
         self.loss: Dict[str, Dict[int, float]] = {"train": {}, "test": {}}
 
@@ -534,7 +537,7 @@ class Trainer:
         # optimizer chain, or imported from a torch checkpoint) falls back
         # to fresh moments — inference is unaffected, resumed training
         # restarts Adam's statistics
-        ref_state = self.tx.init(self.params)
+        ref_state = jax.jit(self.tx.init)(self.params)
         flat, _ = jax.tree_util.tree_flatten(state["optimizer_state"])
         _, treedef = jax.tree_util.tree_flatten(ref_state)
         try:
