@@ -106,3 +106,40 @@ def test_vmapped_six_covariates():
     f, S = jax.vmap(evaluate_posterior)(xu, kvar, ls, qu_m, qu_S, xq)
     assert f.shape == (C, B) and S.shape == (C, B, B)
     assert np.isfinite(np.asarray(f)).all() and np.isfinite(np.asarray(S)).all()
+
+
+def test_posterior_diag_matches_dense_diag():
+    from vaegam_tpu.models.gp import evaluate_posterior_diag
+
+    rng = np.random.default_rng(7)
+    P, B = 6, 97
+    k_var, ls = 1.3, 0.8
+    with jax.enable_x64(True):
+        xu = jnp.array(np.linspace(-2.0, 2.0, P))
+        qu_m = jnp.array(rng.normal(size=(P,)))
+        a = rng.normal(size=(P, P))
+        qu_S = jnp.array(a @ a.T + np.eye(P))
+        xq = jnp.array(rng.normal(size=(B,)) * 2.0)
+        f_dense, sigma = evaluate_posterior(xu, k_var, ls, qu_m, qu_S, xq)
+        f_diag, var = evaluate_posterior_diag(xu, k_var, ls, qu_m, qu_S, xq)
+    np.testing.assert_allclose(np.asarray(f_diag), np.asarray(f_dense), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(var), np.diag(np.asarray(sigma)), rtol=1e-9, atol=1e-12
+    )
+
+
+def test_posterior_diag_memory_bounded_at_1e5_rows():
+    """plot_GPs-scale eval: 1e5 query rows would need an 80 GB dense Sigma in
+    float64; the diag path must run it (O(B P) memory) and stay finite."""
+    from vaegam_tpu.models.gp import evaluate_posterior_diag
+
+    rng = np.random.default_rng(8)
+    P, B = 6, 100_000
+    xu = jnp.array(np.linspace(-2.0, 2.0, P), jnp.float32)
+    qu_m = jnp.array(rng.normal(size=(P,)), jnp.float32)
+    qu_S = jnp.array(2.0 * np.eye(P), jnp.float32)
+    xq = jnp.array(rng.normal(size=(B,)), jnp.float32)
+    f_bar, var = jax.jit(evaluate_posterior_diag)(xu, 1.1, 0.9, qu_m, qu_S, xq)
+    assert f_bar.shape == (B,) and var.shape == (B,)
+    assert np.isfinite(np.asarray(f_bar)).all()
+    assert np.isfinite(np.asarray(var)).all()

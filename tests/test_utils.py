@@ -147,3 +147,50 @@ def test_latent_projection_backend_chain():
     assert gap > 1.0 * p1.std()
     # tiny input: degenerate kNN graph -> PCA fallback
     assert _project_2d(rng.normal(size=(10, 32))).shape == (10, 2)
+
+
+def test_add_signal_stencil_file(tmp_path):
+    """--stencil_file supplies the exact binary mask for shape != simple
+    (reference add_control_signal.py:89-123's binarized MNIST digit)."""
+    from vaegam_tpu.cli.add_signal import (
+        THREE_STENCIL,
+        build_control_signal,
+        load_stencil,
+    )
+
+    rng = np.random.default_rng(0)
+    mask = (rng.uniform(size=(13, 13)) > 0.6).astype(np.uint8)
+    path = tmp_path / "mnist3_mask.npy"
+    np.save(path, mask)
+
+    loaded = load_stencil(str(path))
+    assert loaded.dtype == np.float64
+    np.testing.assert_array_equal(loaded, mask.astype(np.float64))
+
+    sig = build_control_signal("mnist", 500.0, 1, 7, stencil=loaded)
+    # inserted rotated -90 deg at [15:25, 34:47, 9:22], like the reference
+    from scipy import ndimage
+
+    expected_plane = 500.0 * ndimage.rotate(loaded, -90)
+    block = sig[15:25, 34:47, 9:22]
+    for k in range(10):
+        np.testing.assert_allclose(block[k], expected_plane, atol=1e-9)
+    # outside the insert region everything is zero
+    total = sig.sum()
+    assert total == pytest.approx(10 * expected_plane.sum())
+
+    # default path unchanged
+    sig_default = build_control_signal("mnist", 500.0, 1, 7)
+    np.testing.assert_allclose(
+        sig_default[15:25, 34:47, 9:22][0],
+        500.0 * ndimage.rotate(THREE_STENCIL, -90),
+        atol=1e-9,
+    )
+
+    # validation errors
+    np.save(tmp_path / "bad_shape.npy", np.zeros((12, 13)))
+    with pytest.raises(ValueError, match="13x13"):
+        load_stencil(str(tmp_path / "bad_shape.npy"))
+    np.save(tmp_path / "bad_vals.npy", np.full((13, 13), 0.5))
+    with pytest.raises(ValueError, match="binary"):
+        load_stencil(str(tmp_path / "bad_vals.npy"))

@@ -11,7 +11,10 @@ Behavioral contract:
     downloads MNIST via torchvision; this environment has no network and no
     torchvision, so an embedded 13x13 binary stencil of a '3' is used (the
     reference binarizes the digit to a 0/1 mask anyway — the stencil plays
-    the same role as ground-truth signal for control experiments);
+    the same role as ground-truth signal for control experiments).  The
+    `--stencil_file` extension accepts a user-supplied 13x13 binary .npy mask
+    (e.g. the real binarized MNIST digit, producible offline with the
+    reference's recipe) for exact voxel-for-voxel parity when available;
   * modulation by the control stimulus series (first block ON);
   * output written next to the original as
     {orig}_ALTERED_{shape}_{int}_simple_ts_{MM_DD_YYYY}.nii.gz, never
@@ -76,11 +79,36 @@ def build_parser():
     parser.add_argument("--nii_file_pattern", type=str, metavar="N",
                         default="sub-A000*_preproc_bold_brainmasked_resampled.nii.gz",
                         help="General pattern for filenames of nifti files to be used.")
+    # Extension (not in the reference CLI): supply the exact 13x13 binary mask
+    # for the shape != simple path -- e.g. the reference's binarized MNIST '3'
+    # (add_control_signal.py:89-123: download -> resize 13x13 -> threshold
+    # mean+0.85*std -> the injector rotates -90 deg) -- when data/network are
+    # available.  Default: the embedded stencil.
+    parser.add_argument("--stencil_file", type=str, metavar="N", default="",
+                        help="Optional .npy path with a 13x13 binary (0/1) mask to use "
+                             "instead of the embedded '3' stencil when shape != simple. "
+                             "Use to reproduce the reference's binarized MNIST digit exactly.")
     return parser
 
 
+def load_stencil(stencil_file: str) -> np.ndarray:
+    """Load + validate a user-supplied 13x13 binary stencil (.npy)."""
+    stencil = np.load(stencil_file)
+    if stencil.shape != (13, 13):
+        raise ValueError(
+            f"--stencil_file must be a 13x13 array, got {stencil.shape}"
+        )
+    uniq = np.unique(stencil)
+    if not np.all(np.isin(uniq, (0, 1))):
+        raise ValueError(
+            f"--stencil_file must be binary (0/1), got values {uniq[:8]}"
+        )
+    return stencil.astype(np.float64)
+
+
 def build_control_signal(shape: str, intensity: float, radius: int,
-                         size: int, img_shape=IMG_SHAPE) -> np.ndarray:
+                         size: int, img_shape=IMG_SHAPE,
+                         stencil: np.ndarray | None = None) -> np.ndarray:
     control_sig = np.zeros((img_shape[0], img_shape[1], img_shape[2]))
     if shape == "simple":
         spherical_mask = intensity * mk_spherical_mask(size=size, radius=radius)
@@ -89,7 +117,7 @@ def build_control_signal(shape: str, intensity: float, radius: int,
         control_sig[20:27, 38:45, 15:22] += spherical_mask
         control_sig[16:23, 38:45, 20:27] += spherical_mask
     else:
-        sig = intensity * THREE_STENCIL
+        sig = intensity * (THREE_STENCIL if stencil is None else stencil)
         rot_sig = ndimage.rotate(sig, -90)
         signal = np.broadcast_to(rot_sig, (10, 13, 13))
         control_sig[15:25, 34:47, 9:22] += signal
@@ -111,8 +139,9 @@ def main(argv=None):
         for data_file in Path(full_path).rglob(args.nii_file_pattern):
             raw_data_files.append(str(data_file))
 
+    stencil = load_stencil(args.stencil_file) if args.stencil_file else None
     control_sig = build_control_signal(
-        args.shape, args.intensity, args.radius, args.size
+        args.shape, args.intensity, args.radius, args.size, stencil=stencil
     )
 
     ts = datetime.datetime.now().date()

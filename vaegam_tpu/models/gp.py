@@ -58,6 +58,29 @@ def evaluate_posterior(xu, k_var, ls, qu_m, qu_S, xq):
     return f_bar, sigma
 
 
+def evaluate_posterior_diag(xu, k_var, ls, qu_m, qu_S, xq):
+    """Posterior mean + MARGINAL variance over xq, without the (B, B) Sigma.
+
+    Same math as :func:`evaluate_posterior` restricted to the diagonal:
+      diag(Sigma) = diag(Kqq) + diag(A (qu_S - Kuu) A^T)
+                  = k_var     + sum_pq a_t[p,b] M[p,q] a_t[q,b]
+    (diag(Kqq) is k_var exactly because the RBF at zero distance is k_var).
+    O(B P^2) work and O(B P) memory vs the dense path's O(B^2) — this is the
+    path plot_GPs uses so a 1e5-row study CSV (reference vae_reg_GP.py:622-689
+    evaluates over ALL csv rows) stays memory-bounded, x6 covariates.
+
+    Returns:
+      f_bar: (B,) posterior mean;  var: (B,) marginal posterior variance.
+    """
+    kuq = rbf_gram(xu, xq, k_var, ls)          # (P, B)
+    kuu = rbf_gram(xu, xu, k_var, ls)          # (P, P)
+    a_t = jnp.linalg.solve(kuu, kuq)           # (P, B)
+    f_bar = a_t.T @ qu_m
+    m = qu_S - kuu                             # (P, P)
+    var = k_var + jnp.einsum("pb,pq,qb->b", a_t, m, a_t)
+    return f_bar, var
+
+
 def gp_kl(qu_m, qu_S):
     """KL( N(qu_m, qu_S) || N(0, 10 I) );  NaN if qu_S is not PSD."""
     return mvn_kl(qu_m, qu_S, GP_PRIOR_VAR)

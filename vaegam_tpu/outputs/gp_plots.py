@@ -48,17 +48,19 @@ def plot_GPs(trainer, csv_file: str = "", save_dir: str = ""):
     sa = np.asarray(gp_p["sa"])
     std = np.exp(np.asarray(gp_p["logstd"]))
 
-    eval_fn = jax.jit(gp_mod.evaluate_posterior)
+    # Diag-only posterior: the plots/CSVs only need marginal variances, and a
+    # study-sized CSV (1e4+ rows) would make the dense (N, N) Sigma >= 400 MB
+    # per covariate; evaluate_posterior_diag is O(N P) memory instead.
+    eval_fn = jax.jit(gp_mod.evaluate_posterior_diag)
     for j, name in enumerate(MOTION_KEYS):
         cov_idx = MOTION_SLICE.start + j  # position in the 8-covariate bank
         xq = jnp.asarray(all_covariates[:, j], trainer.config.dtype)
-        f_bar, sigma = eval_fn(
+        f_bar, var = eval_fn(
             xu[j], kvar[j], ls[j], gp_p["qu_m"][j], gp_p["qu_S"][j], xq
         )
         beta_mean = sa[cov_idx] * np.asarray(xq) + np.asarray(f_bar)
         beta_var = (
-            std[cov_idx] ** 2 * np.asarray(xq) ** 2
-            + np.diag(np.asarray(sigma))
+            std[cov_idx] ** 2 * np.asarray(xq) ** 2 + np.asarray(var)
         )
         if not write_files:
             continue
