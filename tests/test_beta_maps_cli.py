@@ -76,3 +76,39 @@ def test_beta_maps_cli_missing_feat_dir_rejected(tmp_path):
             ["--root_dir", str(root), "--output_dir", str(tmp_path),
              "--data_dims", "2", "2", "2", "3", "--sex_covars_map", "x"]
         )
+
+
+def test_solve_dtype_precision_bounds():
+    """Pin the GLM-solve precision bounds measured by
+    tools/beta_solve_precision_study.py on the realistic ill-conditioned
+    fixture (cond(Gamma) ~ 1.4e3, values ~8e3, correlated motion columns):
+    the float64 host path reproduces the reference's float64 normal
+    equations (get_beta_map_regularizer.py:94-96) to ~1e-12 post-scaling,
+    while the float32 device path drifts past 1e-3 — which is why float64
+    is the --solve_dtype default."""
+    from vaegam_tpu.tools.beta_solve_precision_study import (
+        make_realistic_fixture,
+        reference_solve_f64,
+    )
+    from vaegam_tpu.utils.stats import scale_beta_maps
+
+    gamma, y = make_realistic_fixture(n_subj=10, n_vox=3000, seed=0)
+    assert np.linalg.cond(gamma) > 300  # ill-conditioned by construction
+    ref = scale_beta_maps(reference_solve_f64(gamma, y))
+
+    drift64 = np.abs(
+        scale_beta_maps(beta_maps.solve_beta_maps(gamma, y, dtype="float64"))
+        - ref
+    ).max()
+    assert drift64 < 1e-10, drift64
+
+    drift32 = np.abs(
+        scale_beta_maps(beta_maps.solve_beta_maps(gamma, y, dtype="float32"))
+        - ref
+    ).max()
+    # fp32 drift magnitude is CODEGEN-dependent (measured 3.2e-5 under the
+    # test env's cached CPU kernels vs 4.9e-3 with a fresh XLA compile on
+    # the same fixture — the instability is the finding), so only the upper
+    # bound is pinned here; the study tool records the per-backend numbers.
+    assert drift32 < 0.05, drift32
+    assert drift64 < drift32  # fp64 is strictly tighter

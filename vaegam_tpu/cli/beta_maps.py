@@ -46,11 +46,38 @@ def build_parser():
                         help="Dimensions for fMRI data being processed. Should be in order x, y, z, time.")
     parser.add_argument("--sex_covars_map", type=str, metavar="N", default="",
                         help="Full path to sex covariate cope map produced in higher level analysis in FSL.")
+    # Extension (not in the reference CLI): solve precision.  float64 matches
+    # the reference's numpy normal-equations precision and is the default
+    # (see solve_beta_maps docstring for the measured fp32 drift bound).
+    parser.add_argument("--solve_dtype", type=str, metavar="N",
+                        default="float64", choices=["float32", "float64"],
+                        help="Precision of the GLM solve. float64 (default) runs the "
+                             "reference-parity host solve; float32 runs on device.")
     return parser
 
 
-def solve_beta_maps(gamma: np.ndarray, filtered_data: np.ndarray) -> np.ndarray:
-    """beta = argmin ||gamma @ beta - Y^T||^2  — on device, batched over voxels."""
+def solve_beta_maps(gamma: np.ndarray, filtered_data: np.ndarray,
+                    dtype: str = "float64") -> np.ndarray:
+    """beta = argmin ||gamma @ beta - Y^T||^2, batched over voxels.
+
+    dtype='float64' (default): host lstsq at the reference's precision
+    (get_beta_map_regularizer.py:94-96 solves the normal equations in float64
+    numpy; lstsq agrees whenever G^T G is invertible, which it assumes, and
+    is better conditioned).  The design has only 7 columns, so the heavy op
+    is the (sum_T, 7)^T @ (sum_T, voxels) product — milliseconds on host;
+    running it in fp32 on device saves nothing and was measured to drift up
+    to ~1e-2 post-scaling on ill-conditioned correlated-motion fixtures
+    (tools/beta_solve_precision_study.py), so fp64 is the default.
+
+    dtype='float32': the on-device solve (kept for very large voxel counts).
+    """
+    if dtype == "float64":
+        sol, *_ = np.linalg.lstsq(
+            gamma.astype(np.float64),
+            filtered_data.T.astype(np.float64),
+            rcond=None,
+        )
+        return sol
     sol, *_ = jnp.linalg.lstsq(
         jnp.asarray(gamma, jnp.float32), jnp.asarray(filtered_data.T, jnp.float32)
     )
@@ -108,6 +135,7 @@ def main(argv=None):
     beta_maps = solve_beta_maps(
         np.concatenate(design_blocks, axis=0),       # (sum_T, 7)
         np.concatenate(bold_blocks, axis=1),         # (voxels, sum_T)
+        dtype=args.solve_dtype,
     )
 
     sex_map = np.asarray(nifti.load(args.sex_covars_map).dataobj)

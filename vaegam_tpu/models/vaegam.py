@@ -167,22 +167,32 @@ def init_model(
     which on a tunnel-attached TPU is ~40 s of pure latency per process
     start (bench/CLI/tools alike).  Same keys, same ops — identical values.
     """
-    xu_t = tuple((float(lo), float(hi)) for lo, hi in xu_ranges)
-    params, xu = _init_device(key, config, xu_t)
-    consts = {
-        "xu": xu,
-        "hrf": hrf_kernel(config.dtype),
+    # ranges are TRACED (a (6, 2) array argument), not static: data-derived
+    # (lo, hi) values vary per dataset and a static tuple would recompile the
+    # whole init graph for every distinct range
+    xu_r = np.asarray([(float(lo), float(hi)) for lo, hi in xu_ranges],
+                      np.dtype(config.dtype))
+    params, xu = _init_device(key, config, xu_r)
+    if glm_maps is None:
+        glm = None
+    elif isinstance(glm_maps, jax.Array):
+        # already device-resident — astype stays on device; an np.asarray hop
+        # here would force a device->host->device round-trip
+        glm = glm_maps.astype(config.dtype)
+    else:
         # device_put's DMA path — an eager jnp.asarray of host data routes
         # through eager-op machinery (~60x slower over a tunnel link,
         # docs/PERFORMANCE.md)
-        "glm_maps": None if glm_maps is None else jax.device_put(
-            np.asarray(glm_maps, np.dtype(config.dtype))
-        ),
+        glm = jax.device_put(np.asarray(glm_maps, np.dtype(config.dtype)))
+    consts = {
+        "xu": xu,
+        "hrf": hrf_kernel(config.dtype),
+        "glm_maps": glm,
     }
     return params, consts
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+@functools.partial(jax.jit, static_argnums=(1,))
 def _init_device(key, config: VAEGAMConfig, xu_ranges):
     dt = config.dtype
     k_enc, k_dec, k_sa, k_ls, k_qm = jax.random.split(key, 5)
@@ -216,8 +226,9 @@ def _init_device(key, config: VAEGAMConfig, xu_ranges):
                             _epsilon_dtype(config, dt)),
         "gp": gp_bank,
     }
-    xu = jnp.stack(
-        [jnp.linspace(lo, hi, p, dtype=dt) for lo, hi in xu_ranges]
+    # traced-endpoint linspace over the (6, 2) ranges array (num stays static)
+    xu = jnp.linspace(
+        xu_ranges[:, 0], xu_ranges[:, 1], p, axis=-1, dtype=dt
     )  # (6, P)
     return params, xu
 

@@ -101,7 +101,7 @@ class Trainer:
         # jitted: eager optimizer init is ~130 separate zeros_like dispatches
         # (one per moment leaf), each paying a full round-trip on a
         # tunnel-attached device
-        self.opt_state = jax.jit(self.tx.init)(self.params)
+        self.opt_state = self._tx_init(self.params)
         self.epoch = 0
         self.loss: Dict[str, Dict[int, float]] = {"train": {}, "test": {}}
 
@@ -142,6 +142,9 @@ class Trainer:
             tx = optax.chain(optax.clip_by_global_norm(self.grad_clip), tx)
         if self.skip_nonfinite_updates:
             tx = optax.apply_if_finite(tx, max_consecutive_errors=100000)
+        # one jitted init per optimizer build, reused by load_state — a fresh
+        # jax.jit wrapper per call would recompile on every checkpoint load
+        self._tx_init = jax.jit(tx.init)
         return tx
 
     # ------------------------------------------------------------------ jit
@@ -537,7 +540,7 @@ class Trainer:
         # optimizer chain, or imported from a torch checkpoint) falls back
         # to fresh moments — inference is unaffected, resumed training
         # restarts Adam's statistics
-        ref_state = jax.jit(self.tx.init)(self.params)
+        ref_state = self._tx_init(self.params)
         flat, _ = jax.tree_util.tree_flatten(state["optimizer_state"])
         _, treedef = jax.tree_util.tree_flatten(ref_state)
         try:
