@@ -113,3 +113,45 @@ def test_project_2d_uses_native_umap(monkeypatch):
     out = latents._project_2d(x)
     assert called.get("yes")
     assert out.shape == (len(x), 2)
+
+
+def test_trustworthiness_matches_sklearn():
+    """Native trustworthiness cross-validated against an independent
+    implementation (sklearn.manifold.trustworthiness) — the embedding
+    fidelity metric itself has an external oracle."""
+    from sklearn.manifold import trustworthiness as sk_trust
+
+    rng = np.random.default_rng(11)
+    for n, d, k in [(60, 8, 5), (120, 16, 10), (150, 4, 7)]:
+        x = rng.normal(size=(n, d))
+        emb = rng.normal(size=(n, 2)) + 0.5 * x[:, :2]
+        ours = un.trustworthiness(x, emb, n_neighbors=k)
+        theirs = sk_trust(x, emb, n_neighbors=k)
+        assert ours == pytest.approx(theirs, abs=1e-12), (n, d, k)
+
+
+def test_umap_embedding_trustworthiness_floor():
+    """Quantitative fidelity gate for the latent-projection artifact:
+    umap_embed on the cluster fixture must preserve >= 85% of local
+    neighborhood structure (measured 0.883 at k=15 on this fixture)."""
+    x, _ = _two_clusters()
+    emb = un.umap_embed(x, n_neighbors=15, n_epochs=200, seed=42)
+    assert un.trustworthiness(x, emb, n_neighbors=15) > 0.85
+    assert un.trustworthiness(x, emb, n_neighbors=5) > 0.85
+
+
+def test_umap_embedding_matches_golden():
+    """Drift detector: the committed golden embedding (generated under this
+    test env's CPU backend) must be reproduced bit-near by today's code.
+    A deliberate algorithm change should regenerate the golden (see
+    tests/golden/) — an accidental one fails here."""
+    import os
+
+    golden_path = os.path.join(os.path.dirname(__file__), "golden",
+                               "umap_two_clusters_emb.npz")
+    golden = np.load(golden_path)
+    x, _ = _two_clusters()
+    emb = un.umap_embed(x, n_neighbors=15, n_epochs=200, seed=42)
+    np.testing.assert_allclose(emb, golden["emb"], atol=1e-5)
+    t = un.trustworthiness(x, emb, n_neighbors=15)
+    assert t == pytest.approx(float(golden["trustworthiness"]), abs=1e-6)

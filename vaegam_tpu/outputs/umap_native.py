@@ -272,3 +272,43 @@ def umap_embed(x: np.ndarray, n_neighbors: int = 20,
     eps = make_epochs_per_sample(weights, n_epochs)
     return optimize_layout(init, heads, tails, eps, a, b,
                            n_epochs=n_epochs, seed=seed)
+
+
+def trustworthiness(x: np.ndarray, emb: np.ndarray,
+                    n_neighbors: int = 5) -> float:
+    """Trustworthiness of an embedding (Venna & Kaski 2001).
+
+    T(k) = 1 - 2/(n k (2n - 3k - 1)) * sum_i sum_{j in U_i(k)} (r(i,j) - k)
+    where U_i(k) are the k nearest neighbors of i in the EMBEDDING that are
+    not among its k nearest in the ORIGINAL space, and r(i,j) is j's rank by
+    original-space distance from i (self excluded).  1.0 = every embedding
+    neighborhood is faithful; 0.5 ~ random.  This is the quantitative
+    fidelity gate for the latent-projection artifact (the reference relies
+    on umap-learn, which is not importable here; this implementation is
+    cross-validated against sklearn.manifold.trustworthiness in
+    tests/test_umap_native.py).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    emb = np.asarray(emb, dtype=np.float64)
+    n = len(x)
+    if not 0 < n_neighbors < n / 2:
+        raise ValueError("n_neighbors must be in (0, n/2)")
+
+    def pairwise_sq(a):
+        sq = np.sum(a * a, axis=1)
+        d2 = sq[:, None] + sq[None, :] - 2.0 * (a @ a.T)
+        np.maximum(d2, 0.0, out=d2)
+        np.fill_diagonal(d2, np.inf)  # exclude self from rankings
+        return d2
+
+    d_x = pairwise_sq(x)
+    d_e = pairwise_sq(emb)
+    # rank of every point by original-space distance (0 = nearest)
+    ranks_x = np.argsort(np.argsort(d_x, axis=1, kind="stable"),
+                         axis=1, kind="stable")
+    emb_nn = np.argsort(d_e, axis=1, kind="stable")[:, :n_neighbors]
+    rank_of_emb_nn = np.take_along_axis(ranks_x, emb_nn, axis=1)
+    # penalize embedding neighbors whose original rank falls outside top-k
+    penalty = np.maximum(rank_of_emb_nn - (n_neighbors - 1), 0).sum()
+    norm = 2.0 / (n * n_neighbors * (2.0 * n - 3.0 * n_neighbors - 1.0))
+    return float(1.0 - norm * penalty)
