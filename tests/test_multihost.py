@@ -235,3 +235,50 @@ def test_multihost_cli_end_to_end_matches_single_process(mode, tmp_path):
     # (tolerance: fp32 reduction order differs between 1 and 4 devices)
     single = _single_process_cli(workdir, mode, mode)
     np.testing.assert_allclose(losses[0], single, rtol=2e-3)
+
+
+def test_multihost_checkpoint_resume_continues_trajectory(tmp_path):
+    """VERDICT r3 Next #7: train under the 2-process cluster, checkpoint,
+    kill both processes, resume both from the .tar (exercising load_state's
+    put_replicated re-placement), and assert the continued trajectory
+    equals the unbroken 2-process run's — exactly, at print precision
+    (the checkpointed PRNG chain + epoch-addressed shuffle make resume
+    trajectory-exact; same device count => same reduction order)."""
+    workdir = str(tmp_path)
+    _make_toy_study(workdir)
+    env = _worker_env(2)
+
+    def spawn_with(tag, extra):
+        def spawn(port):
+            return [
+                subprocess.Popen(
+                    [sys.executable,
+                     os.path.join(HERE, "multihost_cli_worker.py"),
+                     str(pid), str(port), tag, workdir, *extra],
+                    stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                    text=True, env=env,
+                )
+                for pid in (0, 1)
+            ]
+        return spawn
+
+    # unbroken 2-process run: epochs 0..3, checkpoints each epoch
+    outs_a = _run_worker_pair(spawn_with("resume_a", ["--epochs", "4"]))
+    losses_a = [_epoch_losses(o) for o in outs_a]
+    assert len(losses_a[0]) == 4 and losses_a[0] == losses_a[1], losses_a
+    ckpt = os.path.join(workdir, "out_multihost_resume_a",
+                        "checkpoint_002.tar")
+    assert os.path.exists(ckpt)
+
+    # resume BOTH processes from the epoch-2 checkpoint; train epoch 3
+    outs_b = _run_worker_pair(spawn_with(
+        "resume_b",
+        ["--epochs", "1", "--from_ckpt", "True", "--ckpt_path", ckpt],
+    ))
+    losses_b = [_epoch_losses(o) for o in outs_b]
+    assert len(losses_b[0]) == 1 and losses_b[0] == losses_b[1], losses_b
+    for out in outs_b:
+        assert "Epoch: 3 " in out  # resumed at the right epoch counter
+
+    # the resumed epoch-3 loss equals the unbroken run's epoch-3 loss
+    assert losses_b[0][0] == losses_a[0][3], (losses_b, losses_a)

@@ -298,3 +298,30 @@ def test_recon_wire_dtype_float16(setup, tmp_path):
 
     with pytest.raises(ValueError):
         Trainer(config, xu_ranges, recon_wire_dtype="int8", **kw)
+
+
+def test_resume_trajectory_matches_unbroken(setup, tmp_path):
+    """Trajectory-exact resume: with the checkpointed PRNG chain and the
+    loaders' epoch-addressed shuffle, a run broken by save+load reproduces
+    the unbroken run's later epochs bitwise."""
+    _, loaders, xu_ranges = setup
+    config = VAEGAMConfig(nf=2, num_latents=8, img_shape=SMALL_SHAPE)
+
+    tu = Trainer(config, xu_ranges, glm_maps=None,
+                 save_dir=str(tmp_path / "u"), seed=3, enable_tb=False)
+    unbroken = [tu.train_epoch(loaders["Shuffled_train"]) for _ in range(4)]
+
+    ta = Trainer(config, xu_ranges, glm_maps=None,
+                 save_dir=str(tmp_path / "a"), seed=3, enable_tb=False)
+    first = [ta.train_epoch(loaders["Shuffled_train"]) for _ in range(2)]
+    ckpt = str(tmp_path / "a" / checkpoint_filename(2))
+    ta.save_state(ckpt)
+
+    tb2 = Trainer(config, xu_ranges, glm_maps=None,
+                  save_dir=str(tmp_path / "b"), seed=3, enable_tb=False)
+    tb2.load_state(ckpt)
+    assert tb2.epoch == 2
+    resumed = [tb2.train_epoch(loaders["Shuffled_train"]) for _ in range(2)]
+
+    np.testing.assert_array_equal(np.asarray(first + resumed),
+                                  np.asarray(unbroken))

@@ -222,6 +222,8 @@ class DataLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._epoch = None
         self._rows = np.arange(len(dataset))[shard_index::num_shards]
 
     def __len__(self) -> int:
@@ -229,6 +231,20 @@ class DataLoader:
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int):
+        """Derive the next iteration's shuffle from (seed, epoch) instead of
+        the stateful stream — the torch DistributedSampler.set_epoch idiom.
+        Makes the epoch-k permutation a pure function of the epoch counter,
+        so (a) a resumed run reproduces an unbroken run's shuffle sequence
+        exactly, and (b) multi-process coherence cannot desync on unequal
+        stateful-rng consumption.  The Trainer calls this every epoch."""
+        self._epoch = int(epoch)
+
+    def _epoch_rng(self):
+        if self._epoch is not None:
+            return np.random.default_rng((self._seed, self._epoch))
+        return self._rng
 
     @property
     def num_samples(self) -> int:
@@ -242,7 +258,7 @@ class DataLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self._rows.copy()
         if self.shuffle:
-            self._rng.shuffle(order)
+            self._epoch_rng().shuffle(order)
         for start in range(0, len(order), self.batch_size):
             batch = order[start : start + self.batch_size]
             if self.drop_last and len(batch) < self.batch_size:

@@ -77,6 +77,8 @@ class DeviceResidentLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._epoch = None
         self.cache_dtype = _CACHE_DTYPES[str(cache_dtype)]
         itemsize = jnp.dtype(self.cache_dtype).itemsize
 
@@ -174,6 +176,8 @@ class DeviceResidentLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._epoch = None
         self.cache_dtype = other.cache_dtype
         self.mesh = other.mesh
         self.batch_sharding = other.batch_sharding
@@ -222,6 +226,21 @@ class DeviceResidentLoader:
         every loader kind normalizes epoch loss by the same number."""
         return self._num_total
 
+
+    def set_epoch(self, epoch: int):
+        """Derive the next iteration's shuffle from (seed, epoch) instead of
+        the stateful stream — the torch DistributedSampler.set_epoch idiom.
+        Makes the epoch-k permutation a pure function of the epoch counter,
+        so (a) a resumed run reproduces an unbroken run's shuffle sequence
+        exactly, and (b) multi-process coherence cannot desync on unequal
+        stateful-rng consumption.  The Trainer calls this every epoch."""
+        self._epoch = int(epoch)
+
+    def _epoch_rng(self):
+        if self._epoch is not None:
+            return np.random.default_rng((self._seed, self._epoch))
+        return self._rng
+
     def iter_index_batches(self) -> Iterator[np.ndarray]:
         """Yield per-batch index arrays (host numpy) for gather-fused steps.
 
@@ -232,7 +251,7 @@ class DeviceResidentLoader:
         """
         order = np.arange(len(self._rows))
         if self.shuffle:
-            self._rng.shuffle(order)
+            self._epoch_rng().shuffle(order)
         for start in range(0, len(order), self.batch_size):
             sel = order[start : start + self.batch_size]
             if self.drop_last and len(sel) < self.batch_size:

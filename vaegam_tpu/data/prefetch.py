@@ -84,6 +84,8 @@ class PrefetchLoader:
         self.workers = workers
         self.mesh = mesh
         self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._epoch = None
         self._multiprocess = mesh is not None and jax.process_count() > 1
         if self._multiprocess and num_shards > 1:
             raise ValueError(
@@ -173,10 +175,25 @@ class PrefetchLoader:
             "vol_num": host["vol_num"],
         }
 
+
+    def set_epoch(self, epoch: int):
+        """Derive the next iteration's shuffle from (seed, epoch) instead of
+        the stateful stream — the torch DistributedSampler.set_epoch idiom.
+        Makes the epoch-k permutation a pure function of the epoch counter,
+        so (a) a resumed run reproduces an unbroken run's shuffle sequence
+        exactly, and (b) multi-process coherence cannot desync on unequal
+        stateful-rng consumption.  The Trainer calls this every epoch."""
+        self._epoch = int(epoch)
+
+    def _epoch_rng(self):
+        if self._epoch is not None:
+            return np.random.default_rng((self._seed, self._epoch))
+        return self._rng
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self._rows.copy()
         if self.shuffle:
-            self._rng.shuffle(order)
+            self._epoch_rng().shuffle(order)
         batches = []
         for start in range(0, len(order), self.batch_size):
             sel = order[start : start + self.batch_size]

@@ -45,6 +45,7 @@ def save_checkpoint(
     gp_kl_scale: float,
     inducing_pts: int,
     consts: Any = None,
+    rng_key: Any = None,
 ) -> None:
     state = {
         "format_version": _FORMAT_VERSION,
@@ -59,6 +60,9 @@ def save_checkpoint(
         "gp_kl_scale": gp_kl_scale,
         "inducing_pts": inducing_pts,
         "consts": None if consts is None else _to_numpy(consts),
+        # trainer PRNG chain at save time: restoring it makes a resumed
+        # trajectory continue the unbroken run's key sequence exactly
+        "rng_key": None if rng_key is None else np.asarray(rng_key),
     }
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     tmp = path + ".tmp"

@@ -303,6 +303,11 @@ class Trainer:
 
     # --------------------------------------------------------------- epochs
     def train_epoch(self, train_loader) -> float:
+        # epoch-addressed shuffle (loaders' set_epoch): the epoch-k
+        # permutation is a pure function of (seed, k), so a checkpoint
+        # resume continues the exact unbroken shuffle sequence
+        if hasattr(train_loader, "set_epoch"):
+            train_loader.set_epoch(self.epoch)
         # fast path: device-resident dataset => single-dispatch steps with
         # the gather fused inside jit (periodic figure logging re-gathers
         # just the sampled batches; the other steps stay single-dispatch)
@@ -504,6 +509,7 @@ class Trainer:
             gp_kl_scale=self.config.gp_kl_scale,
             inducing_pts=self.config.num_inducing_pts,
             consts=self.consts,
+            rng_key=self._key,
         )
 
     def load_state(self, filename: str):
@@ -553,6 +559,11 @@ class Trainer:
             self.opt_state = ref_state
         self.loss = state["loss"]
         self.epoch = state["epoch"]
+        if state.get("rng_key") is not None:
+            # continue the unbroken run's PRNG chain (with the loaders'
+            # epoch-addressed shuffle this makes a resumed trajectory equal
+            # the unbroken one step for step)
+            self._key = jnp.asarray(state["rng_key"])
         if state.get("consts") is not None:
             self.consts = as_jnp(state["consts"])
         if self._replicated is not None:
