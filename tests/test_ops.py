@@ -204,3 +204,72 @@ def test_model_stacks_invariant_under_conv_pack():
     assert abs(losses[(2, 2)] - losses[None]) < 1e-3 * max(
         1.0, abs(losses[None])
     )
+
+
+# ---------------------------------------------------------------------------
+# lane-folded Pallas conv5 (ops/pallas_conv) — interpret mode on CPU
+# ---------------------------------------------------------------------------
+
+
+def test_pallas_conv5_matches_lax_and_grads():
+    """Element-exact forward + gradients vs lax, in Pallas interpret mode
+    (the TPU-compiled path is measured in docs/PERFORMANCE.md)."""
+    import vaegam_tpu.ops.pallas_conv as pc
+
+    orig = pc.pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    pc.pl.pallas_call = interp_call
+    try:
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 8, 10, 6, 16)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(3, 3, 3, 16, 16)) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+        got = pc.conv3d_s1_pallas(x, w, b)
+        ref = pc._ref_fwd(x, w, b)
+        assert got.shape == (2, 6, 8, 4, 16)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+
+        def loss_p(x, w, b):
+            return jnp.sum(jnp.sin(pc.conv3d_s1_pallas(x, w, b)))
+
+        def loss_r(x, w, b):
+            return jnp.sum(jnp.sin(pc._ref_fwd(x, w, b)))
+
+        gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, w, b)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, w, b)
+        for a, c in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       atol=2e-4)
+    finally:
+        pc.pl.pallas_call = orig
+
+
+def test_pallas_conv5_in_encode():
+    """config.pallas_conv5 routes conv5 through the kernel with identical
+    (to fp32 epsilon) encoder outputs."""
+    import vaegam_tpu.ops.pallas_conv as pc
+    from vaegam_tpu.models.networks import encode, init_encoder
+
+    orig = pc.pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    pc.pl.pallas_call = interp_call
+    try:
+        rng = np.random.default_rng(1)
+        params = init_encoder(jax.random.PRNGKey(0), 8, 32)
+        x = jnp.asarray(rng.uniform(0, 1, size=(2, 41, 49, 35)), jnp.float32)
+        base = encode(params, x, 8)
+        pal = encode(params, x, 8, pallas_conv5=True)
+        for a, c in zip(pal, base):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=2e-4, atol=2e-5)
+    finally:
+        pc.pl.pallas_call = orig

@@ -88,6 +88,13 @@ def build_parser():
                         help="Optional .npy path with a 13x13 binary (0/1) mask to use "
                              "instead of the embedded '3' stencil when shape != simple. "
                              "Use to reproduce the reference's binarized MNIST digit exactly.")
+    # Extension: inject into non-reference grids (e.g. MNI 91x109x91,
+    # BASELINE configs[4]); sphere placement scales proportionally
+    # (scaled_sphere_params).  Default = the reference grid, exact behavior.
+    parser.add_argument("--img_shape", type=int, metavar="N", nargs=3,
+                        default=[41, 49, 35],
+                        help="Volume grid (D H W) of the input niftis. Default 41 49 35 "
+                             "(the reference grid, exact reference coordinates).")
     return parser
 
 
@@ -106,16 +113,41 @@ def load_stencil(stencil_file: str) -> np.ndarray:
     return stencil.astype(np.float64)
 
 
+# the four reference sphere-cube anchor corners on the (41,49,35) grid
+# (add_control_signal.py:75-87)
+_REF_GRID = (41, 49, 35)
+_SPHERE_STARTS = ((15, 34, 14), (13, 38, 15), (20, 38, 15), (16, 38, 20))
+
+
+def scaled_sphere_params(img_shape) -> tuple:
+    """(starts, radius_scale) for a non-reference grid.
+
+    Extension for BASELINE configs[4]-style grids (e.g. MNI 91x109x91):
+    sphere anchor corners scale proportionally with the grid and the L1
+    radius scales with the mean linear factor, so the injected signal keeps
+    the same relative frontal-lobe placement.  On the reference grid this
+    returns the reference's exact coordinates and radius_scale 1.
+    """
+    f = [s / r for s, r in zip(img_shape[:3], _REF_GRID)]
+    starts = tuple(
+        tuple(int(round(c * fi)) for c, fi in zip(st, f))
+        for st in _SPHERE_STARTS
+    )
+    radius_scale = max(1, int(round(sum(f) / 3.0)))
+    return starts, radius_scale
+
+
 def build_control_signal(shape: str, intensity: float, radius: int,
                          size: int, img_shape=IMG_SHAPE,
                          stencil: np.ndarray | None = None) -> np.ndarray:
     control_sig = np.zeros((img_shape[0], img_shape[1], img_shape[2]))
     if shape == "simple":
-        spherical_mask = intensity * mk_spherical_mask(size=size, radius=radius)
-        control_sig[15:22, 34:41, 14:21] += spherical_mask
-        control_sig[13:20, 38:45, 15:22] += spherical_mask
-        control_sig[20:27, 38:45, 15:22] += spherical_mask
-        control_sig[16:23, 38:45, 20:27] += spherical_mask
+        starts, rscale = scaled_sphere_params(img_shape)
+        spherical_mask = intensity * mk_spherical_mask(
+            size=size, radius=radius * rscale
+        )
+        for (a, b, c) in starts:
+            control_sig[a:a + size, b:b + size, c:c + size] += spherical_mask
     else:
         sig = intensity * (THREE_STENCIL if stencil is None else stencil)
         rot_sig = ndimage.rotate(sig, -90)
@@ -141,7 +173,8 @@ def main(argv=None):
 
     stencil = load_stencil(args.stencil_file) if args.stencil_file else None
     control_sig = build_control_signal(
-        args.shape, args.intensity, args.radius, args.size, stencil=stencil
+        args.shape, args.intensity, args.radius, args.size,
+        img_shape=tuple(args.img_shape), stencil=stencil
     )
 
     ts = datetime.datetime.now().date()

@@ -226,13 +226,16 @@ def init_encoder(key, nf: int, num_latents: int, dtype=jnp.float32,
     }
 
 
-def encode(params, x, nf: int, conv_dtype=None, conv_pack=None):
+def encode(params, x, nf: int, conv_dtype=None, conv_pack=None,
+           pallas_conv5: bool = False):
     """x: (B, 41, 49, 35) -> (mu, u, d), each (B, num_latents).
 
     u is the rank-1 covariance factor, d the (positive) diagonal.
     conv_dtype (e.g. bfloat16) selects the conv compute precision; norms,
     heads and accumulation stay float32.  conv_pack=(s_h, s_w) lane-packs
-    the stride-1 convs (ops/packed_conv; identical math).
+    the stride-1 convs (ops/packed_conv; identical math).  pallas_conv5
+    routes conv5 through the hand-written lane-folded Pallas kernel
+    (ops/pallas_conv; fp32 only, element-exact; the VERDICT r3 datapoint).
     """
     cd, cp = conv_dtype, conv_pack
     h = x[..., None]  # NDHWC with C=1
@@ -242,7 +245,14 @@ def encode(params, x, nf: int, conv_dtype=None, conv_pack=None):
     h = _relu(_conv(h, params["conv2"], 2, cd))
     h = _relu(_conv(_batch_stat_norm(h, params["bn3"]), params["conv3"], 1, cd, cp))
     h = _relu(_conv(h, params["conv4"], 2, cd))
-    h = _relu(_conv(_batch_stat_norm(h, params["bn5"]), params["conv5"], 1, cd, cp))
+    if pallas_conv5 and cd is None:
+        from vaegam_tpu.ops.pallas_conv import conv3d_s1_pallas
+
+        h5 = _batch_stat_norm(h, params["bn5"])
+        h = _relu(conv3d_s1_pallas(h5, params["conv5"]["w"],
+                                   params["conv5"]["b"]))
+    else:
+        h = _relu(_conv(_batch_stat_norm(h, params["bn5"]), params["conv5"], 1, cd, cp))
     h = h.reshape(h.shape[0], -1)  # (B, 2nf*6*8*4) channel-last flatten
     h = h.astype(x.dtype)  # FC stack + heads stay fp32
     h = _relu(_linear(h, params["fc1"]))

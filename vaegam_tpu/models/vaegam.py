@@ -87,6 +87,11 @@ class VAEGAMConfig:
     # utilization past the tiny-channel im2col bound.  None = XLA's native
     # lowering.  Math is identical (element-exact up to fp reassociation).
     conv_pack: Any = None
+    # run encoder conv5 through the hand-written lane-folded Pallas kernel
+    # (ops/pallas_conv) instead of XLA's conv lowering — the VERDICT r3
+    # empirical-datapoint knob.  Measured SLOWER than XLA (see
+    # docs/PERFORMANCE.md, "Pallas datapoint"); default off.
+    pallas_conv5: bool = False
     # opt-in stabilization (SURVEY.md §7 hard-parts): parameterize the GP
     # posterior covariance as qu_S = L L^T (raw lower-triangular factor,
     # softplus-free exp diagonal) so Adam can never drive it non-PSD.  Off by
@@ -292,7 +297,7 @@ def forward(
 
     # --- encoder & latent sample ------------------------------------------
     mu, u, d = encode(params["enc"], x, config.nf, config.conv_dtype,
-                      config.conv_pack)
+                      config.conv_pack, pallas_conv5=config.pallas_conv5)
     # global d-floor: if ANY element is tiny, shift the WHOLE tensor
     # (vae_reg_GP.py:321-323 — intentional parity with the reference)
     d = jnp.where(jnp.any(d < 1e-6), d + 1e-6, d)

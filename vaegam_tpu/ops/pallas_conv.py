@@ -48,11 +48,12 @@ def _fold_weight(w: jnp.ndarray, w_in: int, w_out: int) -> jnp.ndarray:
 
 
 def _conv5_kernel(x_ref, w2_ref, b_ref, out_ref, col_ref, *,
-                  batch, d_out, h_out, w_in, ci):
-    """x_ref: (B, D_in, H_in, w_in*ci); col_ref: (B*D_out*H_out, 9*w_in*ci);
-    out_ref: (B*D_out*H_out, w_out*co)."""
+                  block_b, d_out, h_out, w_in, ci):
+    """x_ref: (block_b, D_in, H_in, w_in*ci);
+    col_ref: (block_b*D_out*H_out, 9*w_in*ci);
+    out_ref: (block_b*D_out*H_out, w_out*co)."""
     lanes_in = w_in * ci
-    rows = batch * d_out * h_out
+    rows = block_b * d_out * h_out
     for t, (dz, dy) in enumerate(
         [(i, j) for i in range(3) for j in range(3)]
     ):
@@ -80,21 +81,35 @@ def _pallas_fwd(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     w2 = _fold_weight(w, w_in, w_out)
     b_tiled = jnp.tile(b, (w_out,))  # (w_out*co,) matching (x, co) lanes
 
+    # batch-tile the grid so large (e.g. 9B fused-decode) batches pipeline
+    # HBM->VMEM loads against the dot and the col scratch stays ~5 MB
+    block_b = batch
+    for cand in (32, 16, 8, 4, 2, 1):
+        if batch % cand == 0:
+            block_b = cand
+            break
+    block_rows = block_b * d_out * h_out
+
     kernel = functools.partial(
-        _conv5_kernel, batch=batch, d_out=d_out, h_out=h_out,
+        _conv5_kernel, block_b=block_b, d_out=d_out, h_out=h_out,
         w_in=w_in, ci=ci,
     )
     out = pl.pallas_call(
         kernel,
+        grid=(batch // block_b,),
         out_shape=jax.ShapeDtypeStruct((rows, n_lanes), jnp.float32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, d_in, h_in, lanes_in),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * lanes_in, n_lanes), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_lanes), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((block_rows, n_lanes), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((rows, 9 * lanes_in), jnp.float32),
+            pltpu.VMEM((block_rows, 9 * lanes_in), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * rows * 9 * lanes_in * n_lanes,

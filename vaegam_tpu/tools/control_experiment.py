@@ -32,13 +32,23 @@ import pandas as pd
 MOTION_COLS = ["trans_x", "trans_y", "trans_z", "rot_x", "rot_y", "rot_z"]
 
 
+def _scale_coords(coords, img_shape, ref=(41, 49, 35)):
+    f = [s / r for s, r in zip(img_shape, ref)]
+    return [tuple(int(round(c * fi)) for c, fi in zip(co, f))
+            for co in coords]
+
+
 def build_motion_maps(img_shape=(41, 49, 35)):
-    """Six disjoint octahedral ground-truth maps, one per motion covariate."""
+    """Six disjoint octahedral ground-truth maps, one per motion covariate.
+
+    Anchor corners scale proportionally on non-reference grids (the MNI
+    oracle arm, BASELINE configs[4])."""
     from ..utils.stats import mk_spherical_mask
 
     ball = mk_spherical_mask(size=7, radius=1)
-    coords = [(5, 6, 5), (30, 8, 8), (8, 36, 8),
-              (30, 36, 10), (8, 8, 25), (28, 36, 24)]
+    coords = _scale_coords([(5, 6, 5), (30, 8, 8), (8, 36, 8),
+                            (30, 36, 10), (8, 8, 25), (28, 36, 24)],
+                           img_shape)
     maps = np.zeros((6,) + tuple(img_shape), np.float32)
     for c, (x, y, z) in enumerate(coords):
         maps[c, x:x + 7, y:y + 7, z:z + 7] += ball
@@ -51,7 +61,8 @@ def build_sex_map(img_shape=(41, 49, 35)):
 
     ball = mk_spherical_mask(size=7, radius=1)
     maps = np.zeros(tuple(img_shape), np.float32)
-    maps[16:23, 20:27, 22:29] += ball
+    (x, y, z), = _scale_coords([(16, 20, 22)], img_shape)
+    maps[x:x + 7, y:y + 7, z:z + 7] += ball
     return maps
 
 
@@ -59,7 +70,8 @@ def build_fake_subjects(root, n_subjs, n_vols, seed=0,
                         motion_artifact_intensity=0.0,
                         sex_effect_intensity=0.0,
                         noise_sigma=15.0,
-                        anatomy_var=1.0):
+                        anatomy_var=1.0,
+                        img_shape=(41, 49, 35)):
     """Realistic-ish toy: smooth random 'anatomy' + noise, full (41,49,35).
 
     motion_artifact_intensity > 0 additionally injects motion-correlated
@@ -86,8 +98,12 @@ def build_fake_subjects(root, n_subjs, n_vols, seed=0,
 
     rng = np.random.default_rng(seed)
 
+    # smoothing length scales with the grid so "anatomy" has the same
+    # relative feature size on every volume geometry
+    sig_vox = 4.0 * (sum(img_shape) / (41 + 49 + 35))
+
     def smooth_field(r):
-        f = ndimage.gaussian_filter(r.normal(size=(41, 49, 35)), sigma=4.0)
+        f = ndimage.gaussian_filter(r.normal(size=img_shape), sigma=sig_vox)
         return (f - f.min()) / (f.max() - f.min())
 
     # template from its own stream: anatomy_var=1 runs reproduce the
@@ -104,7 +120,7 @@ def build_fake_subjects(root, n_subjs, n_vols, seed=0,
                  + anatomy_var * smooth_field(rng))
         base = (300 + 2500 * field).astype(np.float32)
         vols = np.stack(
-            [base + rng.normal(0, noise_sigma, (41, 49, 35))
+            [base + rng.normal(0, noise_sigma, img_shape)
              for _ in range(n_vols)],
             axis=-1,
         ).astype(np.float32)
@@ -112,7 +128,8 @@ def build_fake_subjects(root, n_subjs, n_vols, seed=0,
             # sex is a constant un-z-scored 0/1 covariate (utils.zscore only
             # standardizes the 6 motion columns); subjects with sex=1 carry
             # a constant anatomical effect at a known octahedral map
-            vols += (sex_effect_intensity * build_sex_map())[..., None]
+            vols += (sex_effect_intensity
+                     * build_sex_map(img_shape))[..., None]
         mot = pd.DataFrame(
             {c: rng.normal(0, 0.4, n_vols) for c in MOTION_COLS}
         )
@@ -121,7 +138,7 @@ def build_fake_subjects(root, n_subjs, n_vols, seed=0,
 
     motion_maps = None
     if motion_artifact_intensity > 0:
-        motion_maps = build_motion_maps()
+        motion_maps = build_motion_maps(img_shape)
         # population z-score over ALL subjects' rows (utils.zscore semantics,
         # ddof=0) — the injected effect is per unit of the covariate the
         # model actually receives
@@ -247,6 +264,16 @@ def main(argv=None):
                         help="Subdirectory of work_dir for this run's "
                         "outputs (checkpoints, recons); lets sweep arms "
                         "share one work_dir/data without clobbering.")
+    parser.add_argument("--img_shape", type=int, nargs=3,
+                        default=[41, 49, 35],
+                        help="Volume grid (D H W).  The MNI oracle arm "
+                        "(BASELINE configs[4]) uses 91 109 91; signal/"
+                        "artifact placements scale proportionally "
+                        "(add_signal.scaled_sphere_params / _scale_coords). "
+                        "Default: the reference grid.")
+    parser.add_argument("--cache_dtype", type=str, default="auto",
+                        help="HBM device-cache dtype (auto/float32/bfloat16/"
+                        "float16) — part of the recipe under study.")
     parser.add_argument("--motion_artifacts", type=float, default=None,
                         help="Inject motion-correlated artifacts with known "
                         "octahedral maps at this intensity (gives the 6 "
@@ -264,6 +291,7 @@ def main(argv=None):
     from ..utils import nifti
     from ..utils.stats import get_xu_ranges
 
+    img_shape = tuple(args.img_shape)
     data_dir = os.path.join(args.work_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
     if args.motion_artifacts is None:
@@ -283,7 +311,7 @@ def main(argv=None):
     if args.reuse_data and existing_csv:
         t0 = time.time()
         csv = existing_csv[-1]
-        motion_maps = (build_motion_maps()
+        motion_maps = (build_motion_maps(img_shape)
                        if args.motion_artifacts > 0 else None)
         print(f"[reuse_data] using {csv}")
     else:
@@ -293,12 +321,14 @@ def main(argv=None):
             sex_effect_intensity=args.sex_effect,
             noise_sigma=args.noise_sigma,
             anatomy_var=args.anatomy_var,
+            img_shape=img_shape,
         )
 
         t0 = time.time()
         add_signal.main(
             ["--root_dir", data_dir, "--intensity", str(args.intensity),
-             "--shape", "simple"]
+             "--shape", "simple",
+             "--img_shape", *[str(i) for i in img_shape]]
         )
         csv = preproc.main(
             ["--data_dir", data_dir, "--save_dir", args.work_dir, "--control",
@@ -317,7 +347,8 @@ def main(argv=None):
         # signal, motion maps = scaled injected artifacts (or 0), sex map =
         # 0 (csv read WITH index col -> 9 columns, matching
         # vae_reg_GP.py:58-59 semantics)
-        sig = build_control_signal("simple", args.intensity, 1, 7) / 3284.5
+        sig = build_control_signal(
+            "simple", args.intensity, 1, 7, img_shape=img_shape) / 3284.5
         glm_maps = np.zeros((sig.size, 9), np.float32)
         glm_maps[:, 1] = sig.reshape(-1)
         if motion_maps is not None:
@@ -327,7 +358,8 @@ def main(argv=None):
                 )
         if args.sex_effect > 0:
             glm_maps[:, 8] = (
-                args.sex_effect * build_sex_map().reshape(-1) / 3284.5
+                args.sex_effect * build_sex_map(img_shape).reshape(-1)
+                / 3284.5
             )
         glm_reg_scale = args.glm_reg_scale
     import jax.numpy as jnp
@@ -335,13 +367,15 @@ def main(argv=None):
     warm = min(args.bf16_warmstart, args.epochs) if args.bf16_warmstart else 0
     config = VAEGAMConfig(glm_reg_scale=glm_reg_scale,
                           neural_covariates=False,
+                          img_shape=img_shape,
                           qu_s_cholesky=args.qu_s_cholesky,
                           conv_dtype=(jnp.bfloat16
                                       if args.bf16_convs and not warm
                                       else None),
                           fused_norm_stats=args.fused_norm_stats)
     loaders = setup_device_loaders(batch_size=args.batch_size, train_csv=csv,
-                                   test_csv=csv, seed=args.seed)
+                                   test_csv=csv, seed=args.seed,
+                                   cache_dtype=args.cache_dtype)
     trainer = Trainer(config, get_xu_ranges([csv, csv]), glm_maps=glm_maps,
                       save_dir=run_dir, seed=args.seed, enable_tb=False)
     t_train0 = time.time()
@@ -367,7 +401,7 @@ def main(argv=None):
                      "task_avg.nii")
     )
     task_map = np.array(nifti.load(task_avgs[0]).dataobj)
-    mask = build_control_signal("simple", 1.0, 1, 7) > 0
+    mask = build_control_signal("simple", 1.0, 1, 7, img_shape=img_shape) > 0
 
     inside = float(np.mean(np.abs(task_map[mask])))
     outside = float(np.mean(np.abs(task_map[~mask])))
@@ -390,7 +424,7 @@ def main(argv=None):
         sex_subj = f"sub-A000{70 + 1:02d}"
         sex_map = np.array(nifti.load(
             os.path.join(avg_dir, sex_subj, "sex_avg.nii")).dataobj)
-        smask = build_sex_map() > 0
+        smask = build_sex_map(img_shape) > 0
         s_in = float(np.mean(sex_map[smask]))
         s_out = float(np.mean(np.abs(sex_map[~smask])))
         extra.update(sex_map_mean_inside=round(s_in, 4),
@@ -409,7 +443,7 @@ def main(argv=None):
                 os.path.join(subj_dir, vd, "recon_x_mot.nii")).dataobj))
             acc = vol if acc is None else acc + vol
         acc /= len(vol_dirs)
-        mmask = build_motion_maps()[0] > 0
+        mmask = build_motion_maps(img_shape)[0] > 0
         m_in = float(np.mean(acc[mmask]))
         m_out = float(np.mean(acc[~mmask]))
         extra.update(xmot_absmap_mean_inside=round(m_in, 4),
@@ -425,6 +459,9 @@ def main(argv=None):
     # operative regime: clear above-background contrast at ~300 epochs.
     result = {
         "n_subjs": args.n_subjs,
+        "img_shape": list(img_shape),
+        "batch_size": args.batch_size,
+        "cache_dtype": args.cache_dtype,
         "motion_artifacts": args.motion_artifacts,
         "anatomy_var": args.anatomy_var,
         "glm_reg_scale": glm_reg_scale,
