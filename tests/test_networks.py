@@ -73,3 +73,40 @@ def test_torch_default_init_bounds():
     bound = 1 / np.sqrt(216)
     assert np.abs(w).max() <= bound
     assert np.abs(w).max() > 0.8 * bound  # actually fills the range
+
+
+def test_per_stack_conv_dtype_overrides():
+    """enc_conv_dtype/dec_conv_dtype/dec_fp32_final select precision per
+    stack; outputs stay close to fp32 within bf16 tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from vaegam_tpu.models import VAEGAMConfig, forward, init_model
+
+    cfgs = {
+        "fp32": VAEGAMConfig(nf=2, num_latents=8, img_shape=(21, 25, 21)),
+        "enc_bf16": VAEGAMConfig(nf=2, num_latents=8, img_shape=(21, 25, 21),
+                                 enc_conv_dtype=jnp.bfloat16),
+        "dec_bf16": VAEGAMConfig(nf=2, num_latents=8, img_shape=(21, 25, 21),
+                                 dec_conv_dtype=jnp.bfloat16),
+        "fp32_final": VAEGAMConfig(nf=2, num_latents=8,
+                                   img_shape=(21, 25, 21),
+                                   conv_dtype=jnp.bfloat16,
+                                   dec_fp32_final=True),
+    }
+    rng = np.random.default_rng(0)
+    covs = jnp.asarray(rng.normal(size=(4, 8)), jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 1, size=(4, 21, 25, 21)), jnp.float32)
+    losses = {}
+    for name, cfg in cfgs.items():
+        params, consts = init_model(jax.random.PRNGKey(0), cfg,
+                                    [[-2.0, 2.0]] * 6, None)
+        loss, _ = forward(params, consts, jax.random.PRNGKey(1), covs, x,
+                          cfg, deterministic=True)
+        losses[name] = float(loss)
+        assert np.isfinite(losses[name])
+    for name in ("enc_bf16", "dec_bf16", "fp32_final"):
+        # bf16 conv rounding moves the toy loss by well under 1%
+        assert abs(losses[name] - losses["fp32"]) < 0.01 * abs(
+            losses["fp32"]
+        ), (name, losses)

@@ -291,13 +291,15 @@ def init_decoder(key, nf: int, z_dim: int, dtype=jnp.float32,
 
 def decode(params, z, nf: int, conv_dtype=None,
            img_shape=REFERENCE_IMG_SHAPE, stat_groups: int = 1,
-           conv_pack=None):
+           conv_pack=None, fp32_final: bool = False):
     """z: (B*, z_dim) -> sigmoid volume flattened to (B*, prod(img_shape)).
 
     stat_groups: number of contiguous batch groups for the batch-stat norms
     (the fused 9B decode passes num_covariates+1 to reproduce the
     reference's per-one-hot norm statistics — see _batch_stat_norm).
     conv_pack=(s_h, s_w): lane-pack the stride-1 convs (ops/packed_conv).
+    fp32_final: run convt5 (the sigmoid-feeding output conv) in fp32 even
+    when conv_dtype is half precision (per-stack recipe study arm).
     """
     cd, cp = conv_dtype, conv_pack
     sg = stat_groups
@@ -317,8 +319,14 @@ def decode(params, z, nf: int, conv_dtype=None,
                       1, (0, 0, 0), (0, 0, 0), (3, 3, 3), cd, cp))
     h = _relu(_conv_t(h, params["convt4"], 2, (0, 0, 0), (0, 0, 0),
                       (5, 3, 3), cd))
-    h = _conv_t(_batch_stat_norm(h, params["bnt5"], sg), params["convt5"],
-                1, (0, 0, 0), (0, 0, 0), (3, 3, 3), cd, cp)
+    h = _batch_stat_norm(h, params["bnt5"], sg)
+    if fp32_final and cd is not None:
+        h = h.astype(jnp.float32)
+        h = _conv_t(h, params["convt5"], 1, (0, 0, 0), (0, 0, 0),
+                    (3, 3, 3), None, cp)
+    else:
+        h = _conv_t(h, params["convt5"], 1, (0, 0, 0), (0, 0, 0),
+                    (3, 3, 3), cd, cp)
     if any(crop):
         h = h[:, : h.shape[1] - crop[0], : h.shape[2] - crop[1],
               : h.shape[3] - crop[2], :]

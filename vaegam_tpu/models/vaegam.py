@@ -87,6 +87,15 @@ class VAEGAMConfig:
     # utilization past the tiny-channel im2col bound.  None = XLA's native
     # lowering.  Math is identical (element-exact up to fp reassociation).
     conv_pack: Any = None
+    # per-STACK precision overrides (VERDICT r3 Next #2: the multi-subject
+    # bf16 collapse was only ever tested with whole-stack switches).
+    # "inherit" = use conv_dtype; None = force fp32 for that stack; a dtype
+    # forces that dtype.  dec_fp32_final runs the decoder's LAST transposed
+    # conv (convt5, the layer feeding the sigmoid output) in fp32 even when
+    # the rest of the decoder stack is half precision.
+    enc_conv_dtype: Any = "inherit"
+    dec_conv_dtype: Any = "inherit"
+    dec_fp32_final: bool = False
     # run encoder conv5 through the hand-written lane-folded Pallas kernel
     # (ops/pallas_conv) instead of XLA's conv lowering — the VERDICT r3
     # empirical-datapoint knob.  Measured SLOWER than XLA (see
@@ -296,7 +305,9 @@ def forward(
     k_z, k_beta = jax.random.split(key)
 
     # --- encoder & latent sample ------------------------------------------
-    mu, u, d = encode(params["enc"], x, config.nf, config.conv_dtype,
+    enc_cd = (config.conv_dtype if config.enc_conv_dtype == "inherit"
+              else config.enc_conv_dtype)
+    mu, u, d = encode(params["enc"], x, config.nf, enc_cd,
                       config.conv_pack, pallas_conv5=config.pallas_conv5)
     # global d-floor: if ANY element is tiny, shift the WHOLE tensor
     # (vae_reg_GP.py:321-323 — intentional parity with the reference)
@@ -320,9 +331,12 @@ def forward(
     # its decoder batch-stat norms see B rows at a time; the fused 9B decode
     # computes per-group statistics to match (networks._batch_stat_norm)
     # unless config.fused_norm_stats deliberately opts into joint stats
+    dec_cd = (config.conv_dtype if config.dec_conv_dtype == "inherit"
+              else config.dec_conv_dtype)
     decoded = decode(
-        params["dec"], zcat, config.nf, config.conv_dtype, config.img_shape,
+        params["dec"], zcat, config.nf, dec_cd, config.img_shape,
         stat_groups=1 if config.fused_norm_stats else n_cov + 1,
+        fp32_final=config.dec_fp32_final,
         conv_pack=config.conv_pack,
     ).reshape(n_cov + 1, b, config.img_dim)
     base, diffs = decoded[0], decoded[1:]                         # (B,D), (C,B,D)

@@ -202,6 +202,15 @@ def main(argv=None):
     parser.add_argument("--bf16_convs", action="store_true", default=False,
                         help="Run the conv stacks with bfloat16 activations "
                         "(the VERDICT r1 #5 recipe study variant).")
+    parser.add_argument("--half_recipe", type=str, default="",
+                        choices=["", "off", "full", "encoder", "decoder",
+                                 "fp32_final"],
+                        help="Per-stack bf16 recipe arm (VERDICT r3 Next "
+                        "#2): full = both conv stacks bf16 (same as "
+                        "--bf16_convs); encoder = bf16 encoder + fp32 "
+                        "decoder; decoder = fp32 encoder + bf16 decoder; "
+                        "fp32_final = both stacks bf16 except the "
+                        "sigmoid-feeding convt5.  Overrides --bf16_convs.")
     parser.add_argument("--bf16_warmstart", type=int, default=0,
                         help="Train the first N epochs with fp32 convs, then "
                         "switch to bfloat16 for the rest (multi-subject bf16 "
@@ -365,14 +374,27 @@ def main(argv=None):
     import jax.numpy as jnp
 
     warm = min(args.bf16_warmstart, args.epochs) if args.bf16_warmstart else 0
+    bf16 = jnp.bfloat16
+    recipe = args.half_recipe or ("full" if args.bf16_convs else "off")
+    if warm and recipe not in ("off", "full"):
+        raise SystemExit("--bf16_warmstart only composes with whole-stack "
+                         "recipes (set_conv_dtype switches conv_dtype only)")
+    stack_kw = {
+        "off": dict(conv_dtype=None),
+        "full": dict(conv_dtype=None if warm else bf16),
+        "encoder": dict(conv_dtype=None,
+                        enc_conv_dtype=None if warm else bf16),
+        "decoder": dict(conv_dtype=None,
+                        dec_conv_dtype=None if warm else bf16),
+        "fp32_final": dict(conv_dtype=None if warm else bf16,
+                           dec_fp32_final=True),
+    }[recipe]
     config = VAEGAMConfig(glm_reg_scale=glm_reg_scale,
                           neural_covariates=False,
                           img_shape=img_shape,
                           qu_s_cholesky=args.qu_s_cholesky,
-                          conv_dtype=(jnp.bfloat16
-                                      if args.bf16_convs and not warm
-                                      else None),
-                          fused_norm_stats=args.fused_norm_stats)
+                          fused_norm_stats=args.fused_norm_stats,
+                          **stack_kw)
     loaders = setup_device_loaders(batch_size=args.batch_size, train_csv=csv,
                                    test_csv=csv, seed=args.seed,
                                    cache_dtype=args.cache_dtype)
@@ -466,7 +488,9 @@ def main(argv=None):
         "anatomy_var": args.anatomy_var,
         "glm_reg_scale": glm_reg_scale,
         "epochs": args.epochs,
-        "conv_dtype": ("bfloat16" if args.bf16_convs or warm else "float32"),
+        "conv_dtype": ("float32" if recipe == "off" and not warm
+                       else recipe if recipe != "full" else "bfloat16"),
+        "half_recipe": recipe,
         "bf16_warmstart": warm,
         "train_seconds": round(train_secs, 1),
         "train_vols_per_sec": round(vols_per_sec, 1),
