@@ -194,3 +194,33 @@ def test_add_signal_stencil_file(tmp_path):
     np.save(tmp_path / "bad_vals.npy", np.full((13, 13), 0.5))
     with pytest.raises(ValueError, match="binary"):
         load_stencil(str(tmp_path / "bad_vals.npy"))
+
+
+def test_scaled_sphere_params():
+    """Sphere placement: exact reference coordinates on the (41,49,35) grid
+    (add_control_signal.py:75-87); proportional anchors + L1-radius scale on
+    non-reference grids (the MNI oracle arm, BASELINE configs[4])."""
+    from vaegam_tpu.cli.add_signal import build_control_signal, scaled_sphere_params
+
+    # reference grid: the reference's exact four anchor corners, no scaling
+    starts, rscale = scaled_sphere_params((41, 49, 35))
+    assert starts == ((15, 34, 14), (13, 38, 15), (20, 38, 15), (16, 38, 20))
+    assert rscale == 1
+
+    # MNI grid: anchors scale by (91/41, 109/49, 91/35) rounded; radius by
+    # the mean linear factor rounded (2.35 -> 2)
+    starts_mni, rscale_mni = scaled_sphere_params((91, 109, 91))
+    assert rscale_mni == 2
+    f = (91 / 41, 109 / 49, 91 / 35)
+    expected = tuple(
+        tuple(int(round(c * fi)) for c, fi in zip(st, f))
+        for st in ((15, 34, 14), (13, 38, 15), (20, 38, 15), (16, 38, 20))
+    )
+    assert starts_mni == expected
+
+    # injected signal lands inside the grid and keeps 4-corner support
+    sig = build_control_signal("simple", 700.0, 1, 7, img_shape=(91, 109, 91))
+    assert sig.shape == (91, 109, 91)
+    assert sig.max() == 700.0
+    for (a, b, c) in starts_mni:
+        assert sig[a:a + 7, b:b + 7, c:c + 7].max() == 700.0
