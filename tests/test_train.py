@@ -325,3 +325,89 @@ def test_resume_trajectory_matches_unbroken(setup, tmp_path):
 
     np.testing.assert_array_equal(np.asarray(first + resumed),
                                   np.asarray(unbroken))
+
+
+def test_epoch_scan_segment_matches_per_step(setup, tmp_path):
+    """One scan segment = the same steps dispatched one by one: same
+    key-split chain, same optax threading, per-step losses equal to
+    compile tolerance (the scan is a separately compiled executable, so
+    bitwise equality is NOT guaranteed — the reason the knob is opt-in)."""
+    from vaegam_tpu.data.device_cache import DeviceResidentLoader
+
+    _, _, xu_ranges = setup
+    config = VAEGAMConfig(nf=2, num_latents=8, img_shape=SMALL_SHAPE)
+    rng = np.random.default_rng(5)
+    vols = rng.uniform(0, 1, size=(8,) + SMALL_SHAPE).astype(np.float32)
+    covs = rng.normal(size=(8, config.num_covariates)).astype(np.float32)
+    loader = DeviceResidentLoader.from_arrays(vols, covs, batch_size=4)
+
+    t1 = Trainer(config, xu_ranges, glm_maps=None, enable_tb=False, seed=3)
+    t2 = Trainer(config, xu_ranges, glm_maps=None, enable_tb=False, seed=3)
+    sels = [np.arange(4), np.arange(4, 8)]
+
+    p, o, k = t1.params, t1.opt_state, jax.random.PRNGKey(11)
+    per_step = []
+    for sel in sels:
+        p, o, k, l = t1._gather_train_step(
+            p, o, k, loader._vols, loader._covs, sel
+        )
+        per_step.append(float(l))
+
+    p2, o2, k2, seg = t2._gather_train_scan(
+        t2.params, t2.opt_state, jax.random.PRNGKey(11),
+        loader._vols, loader._covs, np.stack(sels),
+    )
+    np.testing.assert_allclose(np.asarray(seg), per_step, rtol=1e-6)
+    # identical key chain
+    np.testing.assert_array_equal(np.asarray(k), np.asarray(k2))
+    # params agree to Adam-amplified compile tolerance after 2 steps
+    fa, _ = jax.tree_util.tree_flatten(
+        jax.tree_util.tree_map(np.asarray, p))
+    fb, _ = jax.tree_util.tree_flatten(
+        jax.tree_util.tree_map(np.asarray, p2))
+    for a, b in zip(fa, fb):
+        np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+def test_epoch_scan_dispatch_structure(setup, tmp_path):
+    """Segmentation: uniform non-figure runs go through ONE scan dispatch;
+    figure batches and the ragged tail dispatch singly, in order, with
+    every step executed exactly once and the epoch loss counting all of
+    them."""
+    from vaegam_tpu.data.device_cache import DeviceResidentLoader
+
+    _, _, xu_ranges = setup
+    config = VAEGAMConfig(nf=2, num_latents=8, img_shape=SMALL_SHAPE)
+    rng = np.random.default_rng(6)
+    vols = rng.uniform(0, 1, size=(10,) + SMALL_SHAPE).astype(np.float32)
+    covs = rng.normal(size=(10, config.num_covariates)).astype(np.float32)
+    loader = DeviceResidentLoader.from_arrays(vols, covs, batch_size=4)
+
+    t = Trainer(config, xu_ranges, glm_maps=None, enable_tb=False, seed=3,
+                epoch_scan=True)
+    calls = []
+    scan, step = t._gather_train_scan, t._gather_train_step
+
+    def spy_scan(p, o, k, v, c, idx_mat):
+        calls.append(("scan", idx_mat.shape))
+        return scan(p, o, k, v, c, idx_mat)
+
+    def spy_step(p, o, k, v, c, sel):
+        calls.append(("step", len(sel)))
+        return step(p, o, k, v, c, sel)
+
+    t._gather_train_scan, t._gather_train_step = spy_scan, spy_step
+    loss = t.train_epoch(loader)
+    # 10 samples / batch 4 -> [4,4] scanned together + ragged [2] single
+    assert calls == [("scan", (2, 4)), ("step", 2)]
+    assert np.isfinite(loss)
+    assert t.epoch == 1
+
+    # with figure logging at every 2nd batch, batch 0 and 2 dispatch
+    # singly (figure batches) and batch 1 is a length-1 "segment" -> single
+    calls.clear()
+    t.log_figs_every = 2
+    t._figs_enabled = True
+    t._log_batch_figures = lambda *a, **kw: None
+    t.train_epoch(loader)
+    assert calls == [("step", 4), ("step", 4), ("step", 2)]

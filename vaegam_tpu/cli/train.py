@@ -113,6 +113,9 @@ def build_parser():
     parser.add_argument("--x64_epsilon", type=str2bool, nargs="?", const=True,
                         default=False,
                         help="Store/update the per-voxel log-precision epsilon in float64 like the reference (vae_reg_GP.py:54; cast to fp32 in the log-likelihood like its .float()). Enables jax x64 mode — CPU parity studies only; TPUs have no native f64. Measured impact bound: <=9.5e-4 epsilon drift over 20 steps (tools/epsilon_precision_study.py).")
+    parser.add_argument("--epoch_scan", type=str2bool, nargs="?", const=True,
+                        default=False,
+                        help="Fuse each epoch's uniform-size train steps into one lax.scan dispatch (device-cache loaders only). Cuts host round-trips per epoch from n_steps to ~1-3 — the dominant e2e overhead on remote-attached devices (docs/PERFORMANCE.md). Same op sequence as per-step dispatch but a separately compiled executable, so trajectories can differ at compile tolerance; default off = reference-exact dispatch.")
     parser.add_argument("--conv_dtype", choices=["float32", "bfloat16"],
                         default="float32",
                         help="Conv-stack activation/compute precision. float32 (default) is the reference-parity path; bfloat16 halves the memory-bound conv traffic (see docs/PERFORMANCE.md for the recovery study).")
@@ -210,6 +213,7 @@ def main(argv=None):
         skip_nonfinite_updates=args.skip_nonfinite_updates,
         grad_clip=args.grad_clip,
         recon_wire_dtype=args.recon_wire_dtype,
+        epoch_scan=args.epoch_scan,
     )
 
     if args.from_ckpt:

@@ -283,6 +283,10 @@ def main(argv=None):
     parser.add_argument("--cache_dtype", type=str, default="auto",
                         help="HBM device-cache dtype (auto/float32/bfloat16/"
                         "float16) — part of the recipe under study.")
+    parser.add_argument("--epoch_scan", action="store_true", default=False,
+                        help="Fuse each epoch's uniform-size steps into one "
+                             "lax.scan dispatch (Trainer epoch_scan knob; "
+                             "recipe study arm — see docs/PERFORMANCE.md).")
     parser.add_argument("--motion_artifacts", type=float, default=None,
                         help="Inject motion-correlated artifacts with known "
                         "octahedral maps at this intensity (gives the 6 "
@@ -399,7 +403,8 @@ def main(argv=None):
                                    test_csv=csv, seed=args.seed,
                                    cache_dtype=args.cache_dtype)
     trainer = Trainer(config, get_xu_ranges([csv, csv]), glm_maps=glm_maps,
-                      save_dir=run_dir, seed=args.seed, enable_tb=False)
+                      save_dir=run_dir, seed=args.seed, enable_tb=False,
+                      epoch_scan=args.epoch_scan)
     t_train0 = time.time()
     if warm:
         trainer.train_loop(loaders, epochs=warm, test_freq=None,
@@ -492,6 +497,7 @@ def main(argv=None):
                        else recipe if recipe != "full" else "bfloat16"),
         "half_recipe": recipe,
         "bf16_warmstart": warm,
+        "epoch_scan": args.epoch_scan,
         "train_seconds": round(train_secs, 1),
         "train_vols_per_sec": round(vols_per_sec, 1),
         "task_map_mean_inside": round(inside_mean, 4),

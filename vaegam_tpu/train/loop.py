@@ -67,12 +67,22 @@ class Trainer:
         skip_nonfinite_updates: bool = True,
         grad_clip: float = 0.0,
         recon_wire_dtype: str = "float32",
+        epoch_scan: bool = False,
     ):
         self.config = config
         self.save_dir = save_dir
         self.lr = lr
         self.log_figs_every = log_figs_every
         self.mesh = mesh
+        # opt-in: one-dispatch-per-segment epochs on device-resident loaders
+        # (lax.scan over the gather-fused step).  The scan body is the SAME
+        # op sequence as the per-step dispatch, but it is a separately
+        # compiled executable, so last-bit float differences are possible
+        # (as with any jit-boundary change) and early-training trajectories
+        # can drift apart chaotically — hence opt-in, with the measured
+        # dispatch-overhead win recorded in docs/PERFORMANCE.md.  Within a
+        # run the path is deterministic; checkpoint resume stays exact.
+        self.epoch_scan = epoch_scan
         # opt-in half-precision device->host wire for the recon maps: on
         # remote-attached hosts the output stage is bound by the transfer
         # link (docs/PERFORMANCE.md); float16 halves the bytes at 2^-11
@@ -132,6 +142,7 @@ class Trainer:
 
         self._train_step = self._build_train_step()
         self._gather_train_step = self._build_gather_train_step()
+        self._gather_train_scan = self._build_gather_train_scan()
         self._eval_step = self._build_eval_step(return_maps=False)
         self._maps_step = self._build_eval_step(return_maps=True)
         self._maps_step_wire = None  # lazy; see _recon_maps_step
@@ -195,6 +206,49 @@ class Trainer:
 
         return jax.jit(step, donate_argnums=(0, 1, 2))
 
+    def _build_gather_train_scan(self):
+        """lax.scan over a (n_steps, B) index matrix of gather-fused steps.
+
+        One dispatch executes a whole run of uniform-size train steps — on
+        a tunnel-attached device the per-step dispatch (~100 ms RTT) is
+        most of the gap between the e2e epoch rate and the pure step rate
+        (e.g. MNI batch-8: 13 dispatches/epoch, 27 vs 39 vols/s —
+        docs/PERFORMANCE.md).  The body is EXACTLY _build_gather_train_step's
+        step (same key-split chain, same gather/cast/sharding-constraint,
+        same optax update incl. apply_if_finite state threading) — per-step
+        losses match the individually dispatched steps to compile tolerance
+        (tests/test_train.py::test_epoch_scan_segment_matches_per_step);
+        being a separately compiled executable, it is NOT guaranteed
+        bitwise, so the knob is opt-in (see __init__).
+        """
+        config, tx, consts = self.config, self.tx, self.consts
+        batch_sharding = self._batch_sharding
+
+        def steps(params, opt_state, key, vols, covs_all, idx_mat):
+            def body(carry, idx):
+                params, opt_state, key = carry
+                key, sub = jax.random.split(key)
+                covariates = jnp.take(covs_all, idx, axis=0)
+                x = jnp.take(vols, idx, axis=0).astype(jnp.float32)
+                if batch_sharding is not None:
+                    covariates = jax.lax.with_sharding_constraint(
+                        covariates, batch_sharding
+                    )
+                    x = jax.lax.with_sharding_constraint(x, batch_sharding)
+                (loss, aux), grads = jax.value_and_grad(
+                    forward, has_aux=True
+                )(params, consts, sub, covariates, x, config)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, key), loss
+
+            (params, opt_state, key), losses = jax.lax.scan(
+                body, (params, opt_state, key), idx_mat
+            )
+            return params, opt_state, key, losses
+
+        return jax.jit(steps, donate_argnums=(0, 1, 2))
+
     def _build_eval_step(self, return_maps: bool, maps_wire=None):
         config, consts = self.config, self.consts
         replicated = self._replicated
@@ -248,6 +302,7 @@ class Trainer:
         self.config = dataclasses.replace(self.config, conv_dtype=conv_dtype)
         self._train_step = self._build_train_step()
         self._gather_train_step = self._build_gather_train_step()
+        self._gather_train_scan = self._build_gather_train_scan()
         self._eval_step = self._build_eval_step(return_maps=False)
         self._maps_step = self._build_eval_step(return_maps=True)
         self._maps_step_wire = None  # lazy; see _recon_maps_step
@@ -345,11 +400,44 @@ class Trainer:
         return train_loss
 
     def _train_epoch_fused(self, loader) -> float:
+        """Gather-fused epoch.  With epoch_scan: maximal runs of
+        uniform-size, non-figure steps execute as ONE lax.scan dispatch
+        (self._gather_train_scan); figure batches and the ragged tail batch
+        dispatch singly — host round-trips per epoch drop from n_steps to
+        ~1-3, which on a tunnel-attached device is most of the
+        e2e-vs-pure-step gap (docs/PERFORMANCE.md).  The scan body is the
+        step body (same key-split chain and optax threading); see
+        _build_gather_train_scan for the compile-tolerance caveat that
+        keeps the knob opt-in."""
+        sels = list(loader.iter_index_batches())
         losses = []
-        last_sel = None
+        last_sel = sels[-1] if sels else None
         key = self._next_key()  # one device key chained inside the steps
-        for batch_idx, sel in enumerate(loader.iter_index_batches()):
-            last_sel = sel
+        full = loader.batch_size
+
+        def is_fig(i):
+            return self._figs_enabled and i % self.log_figs_every == 0
+
+        i, n = 0, len(sels)
+        while i < n:
+            j = i
+            if self.epoch_scan and not is_fig(i) and len(sels[i]) == full:
+                while j < n and len(sels[j]) == full and not is_fig(j):
+                    j += 1
+            if j - i >= 2:
+                # scan segment: one dispatch for j-i steps.  Segment shapes
+                # repeat across epochs (shuffle permutes indices, not batch
+                # sizes), so each distinct length compiles once per run.
+                idx_mat = np.stack(sels[i:j])
+                (self.params, self.opt_state, key,
+                 seg_losses) = self._gather_train_scan(
+                    self.params, self.opt_state, key,
+                    loader._vols, loader._covs, idx_mat,
+                )
+                losses.append(seg_losses)  # (j-i,) device vector
+                i = j
+                continue
+            sel = sels[i]
             # numpy sel crosses the jit boundary on the fast DMA path; an
             # eager jnp.asarray would pay a full tunnel dispatch per step
             self.params, self.opt_state, key, loss = self._gather_train_step(
@@ -357,7 +445,7 @@ class Trainer:
                 loader._vols, loader._covs, np.asarray(sel),
             )
             losses.append(loss)
-            if self._figs_enabled and batch_idx % self.log_figs_every == 0:
+            if is_fig(i):
                 # sampled-batch figures (reference logs EVERY batch): re-use
                 # the loader's jitted gather for just this batch; the train
                 # steps themselves stay single-dispatch
@@ -365,7 +453,8 @@ class Trainer:
                     loader._vols, loader._covs, np.asarray(sel)
                 )
                 self._log_batch_figures(covs, x, "train")
-        train_loss = float(np.sum([np.asarray(l) for l in losses]))
+            i += 1
+        train_loss = float(np.sum([np.sum(np.asarray(l)) for l in losses]))
         if not np.isfinite(train_loss):
             last_covs = (
                 np.asarray(loader._covs)[last_sel] if last_sel is not None
@@ -576,6 +665,7 @@ class Trainer:
         # consts may have changed => rebuild the jitted closures
         self._train_step = self._build_train_step()
         self._gather_train_step = self._build_gather_train_step()
+        self._gather_train_scan = self._build_gather_train_scan()
         self._eval_step = self._build_eval_step(return_maps=False)
         self._maps_step = self._build_eval_step(return_maps=True)
         self._maps_step_wire = None  # lazy; see _recon_maps_step
