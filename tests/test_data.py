@@ -248,11 +248,14 @@ def test_auto_precheck_avoids_wasted_upload(csvs, monkeypatch):
 
     monkeypatch.setattr(FMRIDataset, "gather", spy)
     vols_bytes = 12 * 41 * 49 * 35 * 4  # 12 samples fp32
-    setup_device_loaders(batch_size=4, train_csv=train, test_csv=train,
-                         max_bytes=vols_bytes // 2)
-    # exactly one decode each for the bf16 train + test caches; the fp32
-    # attempt must not have gathered at all
-    assert calls == [12, 12]
+    loaders = setup_device_loaders(batch_size=4, train_csv=train,
+                                   test_csv=train,
+                                   max_bytes=vols_bytes // 2)
+    # identical train/test CSVs: ONE decode total — the test loader shares
+    # the train HBM cache (r5: a second upload doubled both the footprint
+    # and the tunnel time); the fp32 attempt must not have gathered at all
+    assert calls == [12]
+    assert loaders["test"]._vols is loaders["Shuffled_train"]._vols
 
 
 def test_num_samples_consistent_across_loader_kinds(csvs):

@@ -192,7 +192,7 @@ def test_fused_step_restores_fp32_from_bf16_cache(setup, tmp_path):
                  enable_tb=False, seed=3)
     t2 = Trainer(config, xu_ranges, glm_maps=None, save_dir=str(tmp_path),
                  enable_tb=False, seed=3)
-    _, _, _, loss_fused = t1._gather_train_step(
+    _, _, _, loss_fused, _ = t1._gather_train_step(
         t1.params, t1.opt_state, key, loader._vols, loader._covs, sel
     )
     xg, cg = loader._gather(loader._vols, loader._covs, sel)
@@ -348,12 +348,12 @@ def test_epoch_scan_segment_matches_per_step(setup, tmp_path):
     p, o, k = t1.params, t1.opt_state, jax.random.PRNGKey(11)
     per_step = []
     for sel in sels:
-        p, o, k, l = t1._gather_train_step(
+        p, o, k, l, _ = t1._gather_train_step(
             p, o, k, loader._vols, loader._covs, sel
         )
         per_step.append(float(l))
 
-    p2, o2, k2, seg = t2._gather_train_scan(
+    p2, o2, k2, seg, _ = t2._gather_train_scan(
         t2.params, t2.opt_state, jax.random.PRNGKey(11),
         loader._vols, loader._covs, np.stack(sels),
     )

@@ -147,7 +147,13 @@ def build_control_signal(shape: str, intensity: float, radius: int,
             size=size, radius=radius * rscale
         )
         for (a, b, c) in starts:
-            control_sig[a:a + size, b:b + size, c:c + size] += spherical_mask
+            # clip-safe insert: a no-op on the reference grid (all four
+            # cubes fit, add_control_signal.py:84-87 exactly); on very
+            # small grids (sub-reference oracle smoke runs) the scaled
+            # anchors can touch the boundary and the mask is cropped
+            blk = control_sig[a:a + size, b:b + size, c:c + size]
+            blk += spherical_mask[: blk.shape[0], : blk.shape[1],
+                                  : blk.shape[2]]
     else:
         sig = intensity * (THREE_STENCIL if stencil is None else stencil)
         rot_sig = ndimage.rotate(sig, -90)

@@ -41,6 +41,7 @@ far from f16's range limits, so range costs nothing here).
 
 from __future__ import annotations
 
+import os
 from typing import Iterator, Optional
 
 import numpy as np
@@ -316,6 +317,20 @@ def setup_device_loaders(batch_size=32, train_csv="", test_csv="", seed=0,
                 num_shards=num_shards, cache_dtype=dt,
                 max_bytes=max_bytes,
             )
+            if os.path.realpath(train_csv) == os.path.realpath(test_csv):
+                # identical CSVs (the control-experiment/oracle pattern):
+                # one HBM cache serves all three loaders — a second upload
+                # would double both the footprint (binding at MNI N=10:
+                # 2 x 3.5 GiB) and the ~55 MB/s tunnel transfer time
+                test = DeviceResidentLoader.sharing_cache(
+                    shuffled, batch_size, shuffle=False
+                )
+            else:
+                test = DeviceResidentLoader(
+                    test_dataset, batch_size, shuffle=False, mesh=mesh,
+                    shard_index=shard_index, num_shards=num_shards,
+                    cache_dtype=dt, max_bytes=max_bytes,
+                )
             loaders = {
                 "Shuffled_train": shuffled,
                 # same dataset, same HBM cache — a second upload would
@@ -323,11 +338,7 @@ def setup_device_loaders(batch_size=32, train_csv="", test_csv="", seed=0,
                 "UnShuffled_train": DeviceResidentLoader.sharing_cache(
                     shuffled, batch_size, shuffle=False
                 ),
-                "test": DeviceResidentLoader(
-                    test_dataset, batch_size, shuffle=False, mesh=mesh,
-                    shard_index=shard_index, num_shards=num_shards,
-                    cache_dtype=dt, max_bytes=max_bytes,
-                ),
+                "test": test,
             }
             if dt != "float32" and cache_dtype == "auto":
                 print(f"[device cache] dataset exceeds the float32 HBM "

@@ -367,9 +367,11 @@ def forward(
     # ill-conditioning where the reference would crash — see mvn_sample_safe)
     if deterministic:
         gains = beta_mean
+        mvn_fallbacks = jnp.asarray(0, jnp.int32)
     else:
-        gains = mvn_sample_safe(
-            k_beta, beta_mean, beta_cov + 1e-5 * eye_b[None]
+        gains, mvn_fallbacks = mvn_sample_safe(
+            k_beta, beta_mean, beta_cov + 1e-5 * eye_b[None],
+            return_fallback_count=True,
         )
 
     # HRF-convolve neural covariates over the batch axis
@@ -424,6 +426,10 @@ def forward(
         "kl_z_mean": jnp.mean(kl_z),
         "log_prob_mean": jnp.mean(log_prob),
         "gains_absmax": jnp.max(jnp.abs(gains)),
+        # count of gain covariances (of the C per-covariate B x B matrices)
+        # whose as-given Cholesky failed and engaged fallback jitter this
+        # step — accumulated by the Trainer (VERDICT r4 Weak #6)
+        "mvn_fallbacks": mvn_fallbacks,
     }
     if return_maps:
         aux["z"] = z

@@ -115,17 +115,36 @@ def main(argv=None):
             )
         jax.block_until_ready(last)
         fwd_vps = n / (time.time() - t0)
+        # (a2) forward + device->host pull, NO writes — isolates the wire
+        # from the writer pool (the r4 MNI output-stage mystery: which of
+        # forward / wire / encode+write / avg-maps re-read owns the time)
+        t0 = time.time()
+        for sample in loader:
+            covs, x = trainer._put_batch(sample)
+            _, aux = maps_step(trainer.params, trainer._next_key(), covs, x)
+            for v in aux["maps"].values():
+                np.asarray(v)
+        pull_vps = n / (time.time() - t0)
         # (b) full recon stage including the async NIfTI writer pool
         out = os.path.join(root, f"recons_w{eff}")
         os.makedirs(out, exist_ok=True)
         t0 = time.time()
         mk_single_volumes(loader, trainer, csv, out)
         full_vps = n / (time.time() - t0)
+        # (c) the averaged-maps stage: re-reads every written per-volume
+        # file (reference build_model_recons.py:86-92 semantics)
+        from ..outputs.recons import mk_avg_maps
+
+        t0 = time.time()
+        mk_avg_maps(csv, trainer, out, mk_motion_maps=True)
+        avg_s = time.time() - t0
         shutil.rmtree(out)
         results[f"width_{eff}_fwd_vols_per_s"] = round(fwd_vps, 2)
+        results[f"width_{eff}_fwd_pull_vols_per_s"] = round(pull_vps, 2)
         results[f"width_{eff}_full_recon_vols_per_s"] = round(full_vps, 2)
-        print(f"width {eff}: fwd {fwd_vps:.2f} vols/s, "
-              f"full recon {full_vps:.2f} vols/s")
+        results[f"width_{eff}_avg_maps_s"] = round(avg_s, 1)
+        print(f"width {eff}: fwd {fwd_vps:.2f} | fwd+pull {pull_vps:.2f} | "
+              f"full recon {full_vps:.2f} vols/s | avg maps {avg_s:.1f} s")
     print(json.dumps(results))
     shutil.rmtree(root, ignore_errors=True)
 

@@ -257,6 +257,12 @@ def main(argv=None):
                         help="Per-volume Gaussian noise sigma (raw intensity "
                         "units; anatomy spans 300-2800).  The realistic "
                         "tier uses larger values to model real fMRI SNR.")
+    parser.add_argument("--max_skips", type=int, default=-1,
+                        help="Regression bound on non-finite-skipped steps "
+                        "(VERDICT r4 Weak #4): if >= 0, the run FAILS when "
+                        "more than this many optimizer steps were skipped "
+                        "non-finite, even if the map recovered.  Gate arms "
+                        "pin the measured bound; default -1 = report only.")
     parser.add_argument("--no_gate", action="store_true", default=False,
                         help="Report metrics but always exit 0 — for "
                         "tracked non-gating arms (e.g. the "
@@ -506,13 +512,32 @@ def main(argv=None):
         "abs_outside": round(outside, 5),
         "contrast_ratio": round(contrast, 2),
         "nonfinite_skips": skips,
+        # fallback-jitter engagements of the gain-covariance Cholesky
+        # (mvn_sample_safe): a persistent-fallback regime biases gains and
+        # must be visible per run (VERDICT r4 Weak #6)
+        "mvn_fallbacks": trainer.mvn_fallbacks,
         "recovered": bool(contrast > 2.0 and inside_mean > 0.25 * expected),
         "total_seconds": round(time.time() - t0, 1),
         **extra,
     }
+    # epoch-rate stability (the r4 epoch_scan incident was invisible in the
+    # summary JSON): baseline = median of epochs 5..19, degradation = worst
+    # later epoch over baseline.  A healthy run sits near 1.0.
+    eps = [trainer.epoch_seconds[k] for k in sorted(trainer.epoch_seconds)]
+    if len(eps) >= 25:
+        ep_base = float(np.median(eps[5:20]))
+        ep_max = float(np.max(eps[5:]))
+        result["epoch_s_baseline"] = round(ep_base, 3)
+        result["epoch_s_max"] = round(ep_max, 3)
+        result["epoch_s_degradation"] = round(ep_max / ep_base, 2)
+    if args.max_skips >= 0:
+        result["max_skips"] = args.max_skips
+        result["skips_ok"] = bool(skips <= args.max_skips)
     print(json.dumps(result))
     if args.no_gate:
         return 0
+    if args.max_skips >= 0 and not result["skips_ok"]:
+        return 1
     return 0 if result["recovered"] else 1
 
 

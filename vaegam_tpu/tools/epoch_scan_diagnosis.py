@@ -142,7 +142,7 @@ def main(argv=None):
                 idx_mat = np.stack(sels[i:j])
                 t0 = time.perf_counter()
                 (trainer.params, trainer.opt_state, key,
-                 seg_losses) = trainer._gather_train_scan(
+                 seg_losses, _fb) = trainer._gather_train_scan(
                     trainer.params, trainer.opt_state, key,
                     loader._vols, loader._covs, idx_mat)
                 t1 = time.perf_counter()
@@ -153,7 +153,7 @@ def main(argv=None):
                 continue
             t0 = time.perf_counter()
             (trainer.params, trainer.opt_state, key,
-             loss) = trainer._gather_train_step(
+             loss, _fb) = trainer._gather_train_step(
                 trainer.params, trainer.opt_state, key,
                 loader._vols, loader._covs, np.asarray(sels[i]))
             t1 = time.perf_counter()
@@ -178,7 +178,7 @@ def main(argv=None):
             for _ in range(2):
                 t0 = time.perf_counter()
                 (trainer.params, trainer.opt_state, key,
-                 l) = trainer._gather_train_step(
+                 l, _fb) = trainer._gather_train_step(
                     trainer.params, trainer.opt_state, key,
                     loader._vols, loader._covs, probe_sel)
                 np.asarray(l)
@@ -242,11 +242,11 @@ def _build_scan_nodonate(trainer):
             )(params, consts, sub, covariates, x, config)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state, key), loss
+            return (params, opt_state, key), (loss, aux["mvn_fallbacks"])
 
-        (params, opt_state, key), losses = jax.lax.scan(
+        (params, opt_state, key), (losses, fbs) = jax.lax.scan(
             body, (params, opt_state, key), idx_mat)
-        return params, opt_state, key, losses
+        return params, opt_state, key, losses, jnp.sum(fbs)
 
     return jax.jit(steps)
 

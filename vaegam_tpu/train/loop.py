@@ -114,6 +114,14 @@ class Trainer:
         self.opt_state = self._tx_init(self.params)
         self.epoch = 0
         self.loss: Dict[str, Dict[int, float]] = {"train": {}, "test": {}}
+        # cumulative count of gain-covariance Cholesky factorizations that
+        # engaged mvn_sample_safe's fallback jitter (VERDICT r4 Weak #6:
+        # silent-fallback regimes must be visible); synced once per epoch
+        self.mvn_fallbacks = 0
+        # per-epoch wall seconds (epoch -> s): cheap observability so a
+        # mid-run rate degradation (the r4 epoch_scan incident) is visible
+        # in any run's record, not only in dedicated diagnosis harnesses
+        self.epoch_seconds: Dict[int, float] = {}
 
         # figure logging is a COLLECTIVE decision: in multi-process runs the
         # maps-forward inside _log_batch_figures must run on every process
@@ -202,7 +210,7 @@ class Trainer:
             )
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, key, loss
+            return params, opt_state, key, loss, aux["mvn_fallbacks"]
 
         return jax.jit(step, donate_argnums=(0, 1, 2))
 
@@ -240,12 +248,12 @@ class Trainer:
                 )(params, consts, sub, covariates, x, config)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                return (params, opt_state, key), loss
+                return (params, opt_state, key), (loss, aux["mvn_fallbacks"])
 
-            (params, opt_state, key), losses = jax.lax.scan(
+            (params, opt_state, key), (losses, fbs) = jax.lax.scan(
                 body, (params, opt_state, key), idx_mat
             )
-            return params, opt_state, key, losses
+            return params, opt_state, key, losses, jnp.sum(fbs)
 
         return jax.jit(steps, donate_argnums=(0, 1, 2))
 
@@ -358,6 +366,9 @@ class Trainer:
 
     # --------------------------------------------------------------- epochs
     def train_epoch(self, train_loader) -> float:
+        import time as _time
+
+        self._epoch_t0 = _time.perf_counter()
         # epoch-addressed shuffle (loaders' set_epoch): the epoch-k
         # permutation is a pure function of (seed, k), so a checkpoint
         # resume continues the exact unbroken shuffle sequence
@@ -369,6 +380,7 @@ class Trainer:
         if hasattr(train_loader, "iter_index_batches"):
             return self._train_epoch_fused(train_loader)
         losses = []
+        fbs = []
         last_covs = None
         for batch_idx, sample in enumerate(train_loader):
             covs, x = self._put_batch(sample)
@@ -377,12 +389,14 @@ class Trainer:
                 self.params, self.opt_state, self._next_key(), covs, x
             )
             losses.append(loss)
+            fbs.append(aux["mvn_fallbacks"])
             if (
                 self._figs_enabled
                 and batch_idx % self.log_figs_every == 0
             ):
                 self._log_batch_figures(covs, x, "train")
         train_loss = float(np.sum([np.asarray(l) for l in losses]))
+        self._account_mvn_fallbacks(fbs)
         if not np.isfinite(train_loss):
             # failure detection (reference gp.py:47-63): a non-PSD qu_S turns
             # the loss NaN through the KL Cholesky — dump diagnostics
@@ -396,8 +410,16 @@ class Trainer:
                       "skipped so far (reference would have crashed here)")
         train_loss /= _dataset_len(train_loader)
         print(f"Epoch: {self.epoch} Average loss: {train_loss:.4f}")
+        self._record_epoch_seconds()
         self.epoch += 1
         return train_loss
+
+    def _record_epoch_seconds(self):
+        import time as _time
+
+        t0 = getattr(self, "_epoch_t0", None)
+        if t0 is not None:
+            self.epoch_seconds[self.epoch] = _time.perf_counter() - t0
 
     def _train_epoch_fused(self, loader) -> float:
         """Gather-fused epoch.  With epoch_scan: maximal runs of
@@ -411,6 +433,7 @@ class Trainer:
         keeps the knob opt-in."""
         sels = list(loader.iter_index_batches())
         losses = []
+        fbs = []
         last_sel = sels[-1] if sels else None
         key = self._next_key()  # one device key chained inside the steps
         full = loader.batch_size
@@ -430,21 +453,24 @@ class Trainer:
                 # sizes), so each distinct length compiles once per run.
                 idx_mat = np.stack(sels[i:j])
                 (self.params, self.opt_state, key,
-                 seg_losses) = self._gather_train_scan(
+                 seg_losses, fb) = self._gather_train_scan(
                     self.params, self.opt_state, key,
                     loader._vols, loader._covs, idx_mat,
                 )
                 losses.append(seg_losses)  # (j-i,) device vector
+                fbs.append(fb)
                 i = j
                 continue
             sel = sels[i]
             # numpy sel crosses the jit boundary on the fast DMA path; an
             # eager jnp.asarray would pay a full tunnel dispatch per step
-            self.params, self.opt_state, key, loss = self._gather_train_step(
+            (self.params, self.opt_state, key, loss,
+             fb) = self._gather_train_step(
                 self.params, self.opt_state, key,
                 loader._vols, loader._covs, np.asarray(sel),
             )
             losses.append(loss)
+            fbs.append(fb)
             if is_fig(i):
                 # sampled-batch figures (reference logs EVERY batch): re-use
                 # the loader's jitted gather for just this batch; the train
@@ -455,6 +481,7 @@ class Trainer:
                 self._log_batch_figures(covs, x, "train")
             i += 1
         train_loss = float(np.sum([np.sum(np.asarray(l)) for l in losses]))
+        self._account_mvn_fallbacks(fbs)
         if not np.isfinite(train_loss):
             last_covs = (
                 np.asarray(loader._covs)[last_sel] if last_sel is not None
@@ -468,8 +495,22 @@ class Trainer:
                       "skipped so far (reference would have crashed here)")
         train_loss /= _dataset_len(loader)
         print(f"Epoch: {self.epoch} Average loss: {train_loss:.4f}")
+        self._record_epoch_seconds()
         self.epoch += 1
         return train_loss
+
+    def _account_mvn_fallbacks(self, fbs) -> None:
+        """Accumulate + surface the per-epoch fallback-jitter engagements
+        (device scalars collected during the epoch; one sync here)."""
+        if not fbs:
+            return
+        n = int(np.sum([np.asarray(f) for f in fbs]))
+        if n:
+            self.mvn_fallbacks += n
+            print(f"  [warn] {n} gain-covariance Cholesky fallback(s) this "
+                  f"epoch (escalating jitter engaged; "
+                  f"{self.mvn_fallbacks} total — reference would have "
+                  "crashed at the first)")
 
     def test_epoch(self, test_loader) -> float:
         losses = []
