@@ -99,7 +99,16 @@ def main(argv=None):
 
     results = {"n_vols_total": n}
     for width in args.widths:
-        loader = wide_eval_view(base, img_dim, width=width)
+        if width == base.batch_size:
+            loader = base
+        elif width > base.batch_size:
+            loader = wide_eval_view(base, img_dim, width=width)
+        else:
+            # narrower than the training batch (the MNI b8/b16 regimes):
+            # wide_eval_view only widens, so take an exact-width view over
+            # the shared HBM cache
+            loader = DeviceResidentLoader.sharing_cache(
+                base, batch_size=width, shuffle=False)
         eff = loader.batch_size
         # (a) maps forward only — the reconstruct() device loop minus writes
         maps_step = trainer._recon_maps_step()  # applies recon_wire_dtype

@@ -530,6 +530,13 @@ def main(argv=None):
         result["epoch_s_baseline"] = round(ep_base, 3)
         result["epoch_s_max"] = round(ep_max, 3)
         result["epoch_s_degradation"] = round(ep_max / ep_base, 2)
+        # count of >=2x-baseline epochs + the full series on disk: a
+        # transient spike (tunnel/host interference) and a sustained
+        # degradation look identical in a max — the series disambiguates
+        result["epoch_s_over2x"] = int(np.sum(np.asarray(eps[5:])
+                                              > 2 * ep_base))
+        with open(os.path.join(run_dir, "epoch_seconds.json"), "w") as f:
+            json.dump([round(e, 3) for e in eps], f)
     if args.max_skips >= 0:
         result["max_skips"] = args.max_skips
         result["skips_ok"] = bool(skips <= args.max_skips)

@@ -405,7 +405,8 @@ class Trainer:
             skipped = int(np.asarray(
                 self.opt_state.total_notfinite  # optax.apply_if_finite state
             ))
-            if skipped:
+            if skipped and skipped != getattr(self, "_skips_warned", 0):
+                self._skips_warned = skipped
                 print(f"  [warn] {skipped} non-finite gradient step(s) "
                       "skipped so far (reference would have crashed here)")
         train_loss /= _dataset_len(train_loader)
@@ -490,7 +491,8 @@ class Trainer:
             self.check_gp_stability(last_covs)
         if self.skip_nonfinite_updates:
             skipped = int(np.asarray(self.opt_state.total_notfinite))
-            if skipped:
+            if skipped and skipped != getattr(self, "_skips_warned", 0):
+                self._skips_warned = skipped
                 print(f"  [warn] {skipped} non-finite gradient step(s) "
                       "skipped so far (reference would have crashed here)")
         train_loss /= _dataset_len(loader)
