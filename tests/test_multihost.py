@@ -20,7 +20,13 @@ import sys
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow
+# cluster: 2-process jax.distributed subprocess tests.  These pay an
+# irreducible ~1.5-3 min per pair-spawn on a 1-core host (2x interpreter +
+# jax init + topology-specific compiles whose persistent-cache keys do NOT
+# match any single-process warmup — measured r5), so they form their own
+# tier with a documented budget; `-m "slow and not cluster"` is the
+# re-verification slow tier that fits a 10-minute budget.
+pytestmark = [pytest.mark.slow, pytest.mark.cluster]
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -263,7 +269,11 @@ def test_multihost_checkpoint_resume_continues_trajectory(tmp_path):
         return spawn
 
     # unbroken 2-process run: epochs 0..3, checkpoints each epoch
-    outs_a = _run_worker_pair(spawn_with("resume_a", ["--epochs", "4"]))
+    # (--no_outputs: this test asserts trajectory + checkpoints only; the
+    # output stage's programs are covered by the cache/stream CLI tests,
+    # and skipping them here cuts 2 pair-spawns' worth of compiles)
+    outs_a = _run_worker_pair(spawn_with(
+        "resume_a", ["--epochs", "4", "--no_outputs", "True"]))
     losses_a = [_epoch_losses(o) for o in outs_a]
     assert len(losses_a[0]) == 4 and losses_a[0] == losses_a[1], losses_a
     ckpt = os.path.join(workdir, "out_multihost_resume_a",
@@ -273,7 +283,8 @@ def test_multihost_checkpoint_resume_continues_trajectory(tmp_path):
     # resume BOTH processes from the epoch-2 checkpoint; train epoch 3
     outs_b = _run_worker_pair(spawn_with(
         "resume_b",
-        ["--epochs", "1", "--from_ckpt", "True", "--ckpt_path", ckpt],
+        ["--epochs", "1", "--from_ckpt", "True", "--ckpt_path", ckpt,
+         "--no_outputs", "True"],
     ))
     losses_b = [_epoch_losses(o) for o in outs_b]
     assert len(losses_b[0]) == 1 and losses_b[0] == losses_b[1], losses_b

@@ -68,6 +68,15 @@ def build_parser():
     parser.add_argument("--neural_covariates", type=str2bool, nargs="?",
                         const=True, default=True,
                         help="Boolean flag indicating if covariate set includes neural/biological effects which should be convolved with the HRF.")
+    # Extension (not in the reference CLI): train/checkpoint only, skip the
+    # post-training output stage (latents/GP plots/recons/avg maps).  For
+    # train-only jobs and trajectory tests; the reference always runs the
+    # full output stage (multsubj_reg_run_GP.py:78-86).
+    parser.add_argument("--no_outputs", type=str2bool, nargs="?", const=True,
+                        default=False,
+                        help="Skip the post-training output stage (latent plot, GP plots, "
+                             "reconstructions, averaged maps). Extension flag; default False "
+                             "reproduces the reference pipeline.")
     # framework extensions
     parser.add_argument("--log_figs_every", type=int, metavar="N", default=50,
                         help="Log per-batch map/beta TB figures every N batches (0 = off). The reference logs these EVERY batch — the default 50 keeps the same TB artifact families as a sampled subset without the reference's 10x figure-rendering slowdown.")
@@ -238,6 +247,13 @@ def main(argv=None):
         assert args.from_ckpt, (
             "To choose recons_only option, --from_ckpt needs to be TRUE."
         )
+    if args.no_outputs:
+        if args.profile_dir:
+            import jax
+
+            jax.profiler.stop_trace()
+        print(f"Total model runtime (seconds): {time.time() - main_start}")
+        return
     # output stage: optionally widen the eval batch — small-B encoder/decoder
     # passes tile the MXU poorly.  OPT-IN because the batch-stat norms make
     # every forward batch-size-dependent (reference semantics: the recon
